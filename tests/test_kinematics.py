@@ -1,0 +1,188 @@
+"""Kinematics tests: FK/Jacobian vs an independent homogeneous-transform
+oracle, finite-difference Jacobian checks, dJ/dt check, planar robot, frames.
+
+The oracle builds 4x4 transforms link by link straight from the parsed URDF
+joint path — a different code path from models.chain (which folds fixed
+joints and walks R/p pairs) — so agreement is meaningful.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from ilqr_planner_tpu.models import (
+    PlanarRobot,
+    Robot,
+    chain_fk,
+    chain_kin,
+    planar_fk,
+    planar_kin,
+    robot_kin,
+)
+from ilqr_planner_tpu.models.chain import chain_jacobian, jacobian_derivative
+from ilqr_planner_tpu.models.urdf import parse_urdf
+from ilqr_planner_tpu.ops import so3
+
+URDF = "/root/reference/pylqr_planner/Tutorials/model.urdf"
+
+rng = np.random.default_rng(42)
+
+
+def oracle_fk(path, q):
+    """Independent FK: multiply 4x4s straight off the URDF joint list."""
+    T = np.eye(4)
+    qi = 0
+    for j in path:
+        O = np.eye(4)
+        O[:3, :3] = j["R"]
+        O[:3, 3] = j["p"]
+        T = T @ O
+        if j["type"] in ("revolute", "continuous", "prismatic"):
+            a = j["axis"] / np.linalg.norm(j["axis"])
+            M = np.eye(4)
+            if j["type"] == "prismatic":
+                M[:3, 3] = a * q[qi]
+            else:
+                c, s = np.cos(q[qi]), np.sin(q[qi])
+                K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+                M[:3, :3] = np.eye(3) + s * K + (1 - c) * (K @ K)
+            T = T @ M
+            qi += 1
+    return T
+
+
+@pytest.fixture(scope="module")
+def panda_path():
+    return parse_urdf(URDF, "panda_link0", "panda_tip")
+
+
+def test_fk_matches_homogeneous_oracle(panda_chain, panda_path, panda_q0):
+    p, quat = chain_fk(panda_chain, panda_q0)
+    T = oracle_fk(panda_path, panda_q0)
+    np.testing.assert_allclose(p, T[:3, 3], atol=1e-12)
+    R_from_quat = np.asarray(so3.quat_to_mat(quat))
+    np.testing.assert_allclose(R_from_quat, T[:3, :3], atol=1e-12)
+
+
+def test_fk_random_configs(panda_chain, panda_path):
+    for _ in range(5):
+        q = rng.uniform(-2.8, 2.8, size=7)
+        p, quat = chain_fk(panda_chain, q)
+        T = oracle_fk(panda_path, q)
+        np.testing.assert_allclose(p, T[:3, 3], atol=1e-12)
+        # quat extraction + reconstruction roundtrip: ~sqrt(eps) worst case
+        np.testing.assert_allclose(np.asarray(so3.quat_to_mat(quat)), T[:3, :3], atol=1e-8)
+
+
+def test_known_panda_home_height(panda_chain):
+    """At q=0 the Panda tip z is the sum of the z-offsets along the chain
+    (0.333+0.316+0.384+0.107+0.1034 = 1.2434 minus the elbow x-offsets' effect
+    — checked against the oracle, this is a plain sanity anchor)."""
+    p, _ = chain_fk(panda_chain, np.zeros(7))
+    assert 0.8 < float(p[2]) < 1.3
+    assert abs(float(p[1])) < 1e-10
+
+
+def test_geometric_jacobian_vs_finite_difference(panda_chain):
+    q = rng.uniform(-2.0, 2.0, size=7)
+    _, _, J = chain_jacobian(panda_chain, q)
+    J = np.asarray(J)
+    h = 1e-7
+    for i in range(7):
+        dq = np.zeros(7)
+        dq[i] = h
+        p1, quat1 = chain_fk(panda_chain, q + dq)
+        p0, quat0 = chain_fk(panda_chain, q - dq)
+        # linear part
+        np.testing.assert_allclose(J[:3, i], (np.asarray(p1) - np.asarray(p0)) / (2 * h), atol=1e-6)
+        # angular part via rotation difference: w_hat = (R1 R0^T - I)/(2h)
+        R1 = np.asarray(so3.quat_to_mat(quat1))
+        R0 = np.asarray(so3.quat_to_mat(quat0))
+        W = (R1 @ R0.T - np.eye(3)) / (2 * h)
+        w = np.array([W[2, 1], W[0, 2], W[1, 0]])
+        np.testing.assert_allclose(J[3:, i], w, atol=1e-6)
+
+
+def test_jacobian_derivative_vs_finite_difference(panda_chain):
+    """dJ/dt == (J(q + h dq) - J(q))/h as h -> 0 (utils.h:70-113)."""
+    q = rng.uniform(-2.0, 2.0, size=7)
+    dq = rng.normal(size=7)
+    _, _, J0 = chain_jacobian(panda_chain, q)
+    dJ = np.asarray(jacobian_derivative(J0, dq))
+    h = 1e-7
+    _, _, J1 = chain_jacobian(panda_chain, q + h * dq)
+    dJ_fd = (np.asarray(J1) - np.asarray(J0)) / h
+    np.testing.assert_allclose(dJ, dJ_fd, atol=1e-5)
+
+
+def test_chain_kin_velocities(panda_chain):
+    q = rng.uniform(-2.0, 2.0, size=7)
+    dq = rng.normal(size=7)
+    ks = chain_kin(panda_chain, q, dq)
+    J = np.asarray(ks.J)
+    np.testing.assert_allclose(ks.dx, J[:3] @ dq, atol=1e-12)
+    np.testing.assert_allclose(ks.w, J[3:] @ dq, atol=1e-12)
+    assert ks.quat.shape == (4,)
+    np.testing.assert_allclose(np.linalg.norm(ks.quat), 1.0, atol=1e-12)
+
+
+def test_chain_kin_vmaps(panda_chain):
+    B = 16
+    qs = rng.uniform(-2.0, 2.0, size=(B, 7))
+    dqs = rng.normal(size=(B, 7))
+    batched = jax.vmap(lambda q, dq: chain_kin(panda_chain, q, dq))(qs, dqs)
+    single = chain_kin(panda_chain, qs[3], dqs[3])
+    np.testing.assert_allclose(batched.x[3], single.x, atol=1e-12)
+    np.testing.assert_allclose(batched.J[3], single.J, atol=1e-12)
+
+
+def test_planar_fk_and_fd_jacobian():
+    lengths = np.array([1.0, 0.7, 0.5])
+    rob = PlanarRobot(lengths=lengths)
+    q = np.array([0.3, -0.4, 1.1])
+    x = np.asarray(planar_fk(rob, q))
+    np.testing.assert_allclose(x[0], np.sum(lengths * np.cos(q)), atol=1e-12)
+    np.testing.assert_allclose(x[1], np.sum(lengths * np.sin(q)), atol=1e-12)
+    ks = planar_kin(rob, q, np.zeros(3))
+    # FD Jacobian with the reference's exact step: forward difference pi*1e-3
+    step = np.pi * 1e-3
+    for i in range(3):
+        e = np.zeros(3)
+        e[i] = step
+        fd = (np.asarray(planar_fk(rob, q + e)) - x) / step
+        np.testing.assert_allclose(np.asarray(ks.J)[:2, i], fd, atol=1e-12)
+    assert np.allclose(np.asarray(ks.J)[2:], 0)
+    np.testing.assert_allclose(np.asarray(ks.quat), [1, 0, 0, 0])
+
+
+def test_transformed_frame(panda_chain, panda_q0):
+    """Object-frame kin state matches TransformedSimulationInterface math."""
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(so3.rpy_matrix(0.3, -0.2, 0.9))
+    T[:3, 3] = [0.5, -0.1, 0.2]
+    rob = Robot.from_chain(panda_chain)
+    rob_t = rob.with_frame(T)
+    dq = rng.normal(size=7)
+    base = robot_kin(rob, panda_q0, dq)
+    obj = robot_kin(rob_t, panda_q0, dq)
+    R = T[:3, :3]
+    np.testing.assert_allclose(obj.x, R.T @ (np.asarray(base.x) - T[:3, 3]), atol=1e-12)
+    np.testing.assert_allclose(obj.dx, R.T @ np.asarray(base.dx), atol=1e-12)
+    np.testing.assert_allclose(obj.w, R.T @ np.asarray(base.w), atol=1e-12)
+    Taug = np.zeros((6, 6))
+    Taug[:3, :3] = R
+    Taug[3:, 3:] = R
+    np.testing.assert_allclose(obj.J, Taug.T @ np.asarray(base.J), atol=1e-12)
+    # quaternion: R_dest = R^T R(q)
+    Rq = np.asarray(so3.quat_to_mat(base.quat))
+    np.testing.assert_allclose(np.asarray(so3.quat_to_mat(obj.quat)), R.T @ Rq, atol=1e-12)
+
+
+def test_mat_quat_roundtrip():
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        R = np.asarray(so3.quat_to_mat(q))
+        q2 = np.asarray(so3.mat_to_quat(R))
+        # q and -q encode the same rotation
+        assert min(np.linalg.norm(q2 - q), np.linalg.norm(q2 + q)) < 1e-12
