@@ -1,0 +1,229 @@
+"""Recursive iLQR, the primary solver (reference: ILQRRecursive.cpp:19-183).
+
+Functional re-architecture for TPU:
+  * the H-step rollout is a `lax.scan` whose step fuses the feedback law,
+    the integrator, FK + Jacobian, and the stage cost — the reference's
+    per-step KDL FK calls (ILQRRecursive.cpp:124-151) become straight-line
+    compiled code that vmaps over scenario batches;
+  * the backward Riccati pass is a reverse `lax.scan` over precomputed
+    quadratized stage terms (ILQRRecursive.cpp:73-97);
+  * the backtracking line search is a `lax.while_loop` with the reference's
+    exact schedule: alpha halved from 2 at the loop top (first trial = 1),
+    floor 1e-3, strict cost decrease, NaN-reject, and the final trial adopted
+    unconditionally on floor-out (ILQRRecursive.cpp:101-157);
+  * early stop: alpha * sqrt(sum_k ||du_k||) < 1e-3 and cost < 1e-3
+    (ILQRRecursive.cpp:174 — the reference's du_square_norm accumulates
+    *norms*, not squared norms; reproduced as-is).
+
+Numerics held fixed for parity: Quu regularization 1e-6 and the explicit
+inverse with the leading minus sign (ILQRRecursive.cpp:89-91).
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ilqr_planner_tpu.systems import funcs
+from ilqr_planner_tpu.systems.spec import Spec
+
+__all__ = ["ILQRResult", "solve", "rollout"]
+
+
+@struct.dataclass
+class ILQRResult:
+    """X [H,nx], fX [H,nt], U [H-1,nu], Ks [H-1,nu,nx], ds [H-1,nu]
+    (ds scaled by the accepted alpha, as returned by the reference,
+    ILQRRecursive.cpp:128,144), final cost, iterations used, last alpha."""
+
+    X: jnp.ndarray
+    fX: jnp.ndarray
+    U: jnp.ndarray
+    Ks: jnp.ndarray
+    ds: jnp.ndarray
+    cost: jnp.ndarray
+    iterations: jnp.ndarray
+    alpha: jnp.ndarray
+
+
+def rollout(spec: Spec, alpha, Ks, ds, Xref, Uref):
+    """Closed-loop rollout u_k = Uref_k + K_k (x_k - Xref_k) + alpha d_k,
+    accumulating the stage costs and sum of ||du_k||.
+
+    With Ks = ds = 0 this is the plain initial rollout (ILQRRecursive.cpp:41-56).
+    Returns (X, fX, U, As, Bs, Js, cost, du_norm_sum).
+    """
+    x0 = spec.x0
+    fx0, J0 = funcs.fx_jac(spec, x0)
+    dtype = x0.dtype
+
+    def step(carry, inp):
+        x, fx, cost, du_acc = carry
+        K, d, xo, uo, k = inp
+        du = K @ (x - xo) + alpha * d
+        u = uo + du
+        c = funcs.stage_cost(spec, x, fx, u, k)
+        x1, A, B = funcs.dynamics(spec, x, u)
+        fx1, J1 = funcs.fx_jac(spec, x1)
+        du_acc = du_acc + jnp.sqrt(jnp.sum(du * du))
+        return (x1, fx1, cost + c, du_acc), (x1, fx1, u, A, B, J1)
+
+    ks = jnp.arange(spec.horizon - 1)
+    init = (x0, fx0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
+    (xH, fxH, cost, du_acc), (Xs, fXs, U, As, Bs, Js) = jax.lax.scan(
+        step, init, (Ks, ds, Xref[:-1], Uref, ks)
+    )
+    cost = cost + funcs.final_cost(spec, xH, fxH)
+    X = jnp.concatenate([x0[None], Xs], axis=0)
+    fX = jnp.concatenate([fx0[None], fXs], axis=0)
+    Js_full = jnp.concatenate([J0[None], Js], axis=0)
+    return X, fX, U, As, Bs, Js_full, cost, du_acc
+
+
+def _backward(spec: Spec, X, fX, U, As, Bs, Js):
+    """Backward Riccati pass -> (Ks [H-1,nu,nx], ds [H-1,nu]), reproducing
+    ILQRRecursive.cpp:69-97 (including the 1e-6-regularized explicit
+    inverse)."""
+    H = spec.horizon
+    nu = spec.nu
+    dtype = X.dtype
+    R = jnp.diag(spec.Rt.astype(dtype))
+
+    ks = jnp.arange(H - 1)
+    l_x, l_u, l_xx = jax.vmap(
+        lambda x, fx, J, u, k: funcs.cost_gradients(spec, x, fx, J, u, k)
+    )(X[:-1], fX[:-1], Js[:-1], U, ks)
+    lN_x, _, lN_xx = funcs.cost_gradients(
+        spec, X[-1], fX[-1], Js[-1], jnp.zeros(nu, dtype), H - 1
+    )
+
+    eye_reg = 1e-6 * jnp.eye(nu, dtype=dtype)
+
+    def bstep(carry, inp):
+        P, p = carry
+        A, B, lx, lu, lxx = inp
+        PA = P @ A
+        Qux = B.T @ PA
+        Quu = R + B.T @ P @ B
+        Qxx = lxx + A.T @ PA
+        Qxu = Qux.T
+        Qu = lu + B.T @ p
+        Qx = lx + A.T @ p
+        Minv = -jnp.linalg.inv(Quu + eye_reg)
+        K = Minv @ Qux
+        d = Minv @ Qu
+        P1 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qxu @ K
+        p1 = Qx + K.T @ (Quu @ d) + K.T @ Qu + Qxu @ d
+        return (P1, p1), (K, d)
+
+    (_, _), (Ks, ds) = jax.lax.scan(
+        bstep, (lN_xx, lN_x), (As, Bs, l_x, l_u, l_xx), reverse=True
+    )
+    return Ks, ds
+
+
+@partial(jax.jit, static_argnames=("nb_iter", "line_search", "early_stop", "with_callback"))
+def _solve_impl(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
+                with_callback: bool):
+    # TPU MXU default matmul precision is bfloat16, whose 8-bit mantissa
+    # diverges the Gauss-Newton iteration (NaN after convergence); force full
+    # f32 accumulation for every dot traced inside the solve. Matrices here
+    # are tiny (<=15 dims), so the 3/6-pass penalty is irrelevant.
+    with jax.default_matmul_precision("float32"):
+        return _solve_body(spec, U0, nb_iter, line_search, early_stop, with_callback)
+
+
+def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
+                with_callback: bool):
+    dtype = spec.x0.dtype
+    H, nu, nx = spec.horizon, spec.nu, spec.nx
+
+    zK = jnp.zeros((H - 1, nu, nx), dtype=dtype)
+    zd = jnp.zeros((H - 1, nu), dtype=dtype)
+    X, fX, U, As, Bs, Js, cost0, _ = rollout(spec, jnp.asarray(0.0, dtype), zK, zd,
+                                             jnp.zeros((H, nx), dtype), U0)
+
+    def ls_cond(s):
+        first, fail, alpha = s[0], s[1], s[2]
+        return first | (fail & (alpha > 1e-3) & line_search)
+
+    def iter_body(carry):
+        X, fX, U, As, Bs, Js, cost0, Ks, ds, it, done, alpha_l, du_l = carry
+        Ks, ds = _backward(spec, X, fX, U, As, Bs, Js)
+
+        def ls_body(s):
+            _, _, alpha, _ = s
+            alpha = alpha / 2.0
+            out = rollout(spec, alpha, Ks, ds, X, U)
+            cost = out[6]
+            fail = (cost >= cost0) | jnp.isnan(cost)
+            return (jnp.asarray(False), fail, alpha, out)
+
+        dummy = (X, fX, U, As, Bs, Js, cost0, jnp.asarray(0.0, dtype))
+        s0 = (jnp.asarray(True), jnp.asarray(True), jnp.asarray(2.0, dtype), dummy)
+        _, _, alpha, out = jax.lax.while_loop(ls_cond, ls_body, s0)
+        Xn, fXn, Un, Asn, Bsn, Jsn, costn, du_acc = out
+
+        if with_callback:
+            jax.debug.callback(
+                _emit_progress, it + 1, costn, alpha, ordered=True
+            )
+
+        done = early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3) & (costn < 1e-3)
+        return (Xn, fXn, Un, Asn, Bsn, Jsn, costn, Ks, ds, it + 1, done,
+                alpha, du_acc)
+
+    def iter_cond(carry):
+        it, done = carry[9], carry[10]
+        return (it < nb_iter) & ~done
+
+    carry0 = (X, fX, U, As, Bs, Js, cost0, zK, zd,
+              jnp.asarray(0, jnp.int32), jnp.asarray(False),
+              jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+    X, fX, U, As, Bs, Js, cost, Ks, ds, it, done, alpha, _ = jax.lax.while_loop(
+        iter_cond, iter_body, carry0
+    )
+    # Reference returns the alpha-scaled feedforward terms (ILQRRecursive.cpp:128).
+    return ILQRResult(X=X, fX=fX, U=U, Ks=Ks, ds=alpha * ds, cost=cost,
+                      iterations=it, alpha=alpha)
+
+
+_progress_cb = None
+
+
+def _emit_progress(it, cost, alpha):
+    msg = f"Iteration {int(it)}, Cost: {float(cost):g}, alpha= {float(alpha):g}"
+    if _progress_cb is not None:
+        _progress_cb.notify(msg)
+    else:  # pragma: no cover
+        print(msg)
+
+
+def solve(
+    spec: Spec,
+    U0,
+    nb_iter: int,
+    line_search: bool = True,
+    early_stop: bool = True,
+    callback: Optional[object] = None,
+) -> ILQRResult:
+    """Solve the OCP from initial control sequence U0 [H-1, nu].
+
+    Signature mirrors ILQRRecursive::solve(U0, nb_iter, line_search,
+    early_stop, cb) (ILQRRecursive.h:27-37). The whole solve — all
+    iterations, backward passes, and line-search trials — runs as a single
+    jitted computation; `callback.notify(...)` is bridged out per iteration
+    via jax.debug.callback when provided.
+    """
+    global _progress_cb
+    U0 = jnp.asarray(U0)
+    if U0.shape != (spec.horizon - 1, spec.nu):
+        raise ValueError(f"U0 must be [{spec.horizon - 1}, {spec.nu}], got {U0.shape}")
+    _progress_cb = callback
+    try:
+        return _solve_impl(spec, U0, int(nb_iter), bool(line_search),
+                           bool(early_stop), callback is not None)
+    finally:
+        _progress_cb = None
