@@ -1,0 +1,264 @@
+"""Augmented-Lagrangian iLQR for per-timestep inequality constraints.
+
+Reference: AL-ILQR.cpp:19-232 + the Constraint struct (AL-ILQR.h:19-22),
+handling constraints A_k [x; u] <= b_k. Reproduced semantics:
+
+  * active-set mask Ik: diagonal 1 except where g < 0 AND lambda == 0
+    (AL-ILQR.cpp:34-39), pre-scaled by the current penalty rho
+    (AL-ILQR.cpp:72,190);
+  * backward-pass constraint terms added to every Q quantity
+    (AL-ILQR.cpp:129-134);
+  * line-search acceptance uses the *plain* cost, not the augmented
+    Lagrangian (AL-ILQR.cpp:193-199 accumulates s->cost) — the
+    `augmentedLossK` helper exists in the reference but is never called
+    from solve();
+  * dual update every `lag_update_step` iterations: rho *= scaling_factor
+    then lambda = max(0, lambda + rho g) (AL-ILQR.cpp:202-208);
+  * early stop alpha*sqrt(sum ||du||) < 1e-3 — without the cost < 1e-3
+    condition of the unconstrained solver (AL-ILQR.cpp:225);
+  * the backward pass of iteration i uses the penalty-scaled active sets
+    captured during the *previous* forward pass, so the penalty value seen
+    by the backward pass lags dual updates by design.
+
+The whole solve is one jitted computation; constraints are dense arrays
+(zero rows are inert, matching the reference's empty-constraint behavior).
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ilqr_planner_tpu.systems import funcs
+from ilqr_planner_tpu.systems.spec import Spec
+
+__all__ = ["Constraints", "ALILQRResult", "solve"]
+
+
+@struct.dataclass
+class Constraints:
+    """Per-timestep inequality constraints A_k [x; u] <= b_k.
+
+    A: [H-1, nc, nx+nu], b: [H-1, nc]. Build with `Constraints.uniform` for
+    the common same-every-step case (POS_ORN_SYS_AL_ILQR.ipynb cell 12).
+    """
+
+    A: jnp.ndarray
+    b: jnp.ndarray
+
+    @staticmethod
+    def uniform(A, b, horizon: int) -> "Constraints":
+        A = jnp.asarray(A)
+        b = jnp.asarray(b)
+        return Constraints(
+            A=jnp.broadcast_to(A, (horizon - 1,) + A.shape),
+            b=jnp.broadcast_to(b, (horizon - 1,) + b.shape),
+        )
+
+
+@struct.dataclass
+class ALILQRResult:
+    X: jnp.ndarray
+    fX: jnp.ndarray
+    U: jnp.ndarray
+    multipliers: jnp.ndarray
+    cost: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def _active_set(cons: Constraints, lam, x, u, k):
+    """(Ik diagonal 0/1, g) at one step (AL-ILQR.cpp:21-44)."""
+    s = jnp.concatenate([x, u])
+    g = cons.A[k] @ s - cons.b[k]
+    inactive = (g < 0) & (lam == 0)
+    return jnp.where(inactive, 0.0, 1.0), g
+
+
+def _rollout(spec: Spec, cons: Constraints, lam, penalty, alpha, Ks, ds, Xref, Uref):
+    """Closed-loop rollout that also captures per-step penalty-scaled active
+    sets and violations (AL-ILQR.cpp:189-191)."""
+    x0 = spec.x0
+    fx0, J0 = funcs.fx_jac(spec, x0)
+    dtype = x0.dtype
+
+    def step(carry, inp):
+        x, fx, cost, du_acc = carry
+        K, d, xo, uo, lam_k, k = inp
+        du = K @ (x - xo) + alpha * d
+        u = uo + du
+        Ik, g = _active_set(cons, lam_k, x, u, k)
+        c = funcs.stage_cost(spec, x, fx, u, k)
+        x1, A, B = funcs.dynamics(spec, x, u)
+        fx1, J1 = funcs.fx_jac(spec, x1)
+        du_acc = du_acc + jnp.sqrt(jnp.sum(du * du))
+        return (x1, fx1, cost + c, du_acc), (x1, fx1, u, A, B, J1, penalty * Ik, g)
+
+    ks = jnp.arange(spec.horizon - 1)
+    init = (x0, fx0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
+    (xH, fxH, cost, du_acc), (Xs, fXs, U, As, Bs, Js, Is, Cs) = jax.lax.scan(
+        step, init, (Ks, ds, Xref[:-1], Uref, lam, ks)
+    )
+    cost = cost + funcs.final_cost(spec, xH, fxH)
+    X = jnp.concatenate([x0[None], Xs], axis=0)
+    fX = jnp.concatenate([fx0[None], fXs], axis=0)
+    Js_full = jnp.concatenate([J0[None], Js], axis=0)
+    return X, fX, U, As, Bs, Js_full, Is, Cs, cost, du_acc
+
+
+def _backward(spec: Spec, cons: Constraints, lam, X, fX, U, As, Bs, Js, Is, Cs):
+    """iLQR backward pass + constraint terms (AL-ILQR.cpp:94-145)."""
+    H, nu, nx = spec.horizon, spec.nu, spec.nx
+    dtype = X.dtype
+    R = jnp.diag(spec.Rt.astype(dtype))
+
+    ks = jnp.arange(H - 1)
+    l_x, l_u, l_xx = jax.vmap(
+        lambda x, fx, J, u, k: funcs.cost_gradients(spec, x, fx, J, u, k)
+    )(X[:-1], fX[:-1], Js[:-1], U, ks)
+    lN_x, _, lN_xx = funcs.cost_gradients(
+        spec, X[-1], fX[-1], Js[-1], jnp.zeros(nu, dtype), H - 1
+    )
+
+    ckx = cons.A[:, :, :nx]  # [H-1, nc, nx]
+    cku = cons.A[:, :, nx:]
+    eye_reg = 1e-6 * jnp.eye(nu, dtype=dtype)
+
+    def bstep(carry, inp):
+        P, p = carry
+        A, B, lx, lu, lxx, cx, cu, Ik, g, lam_k = inp
+        Icx = Ik[:, None] * cx  # diag(Ik) @ cx
+        Icu = Ik[:, None] * cu
+        PA = P @ A
+        Qux = B.T @ PA + cu.T @ Icx
+        Quu = R + B.T @ P @ B + cu.T @ Icu
+        Qxx = lxx + A.T @ PA + cx.T @ Icx
+        Qxu = A.T @ (P @ B) + cx.T @ Icu
+        lig = lam_k + Ik * g
+        Qu = lu + B.T @ p + cu.T @ lig
+        Qx = lx + A.T @ p + cx.T @ lig
+        Minv = -jnp.linalg.inv(Quu + eye_reg)
+        K = Minv @ Qux
+        d = Minv @ Qu
+        P1 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qxu @ K
+        p1 = Qx + K.T @ (Quu @ d) + K.T @ Qu + Qxu @ d
+        return (P1, p1), (K, d)
+
+    (_, _), (Ks, ds) = jax.lax.scan(
+        bstep, (lN_xx, lN_x), (As, Bs, l_x, l_u, l_xx, ckx, cku, Is, Cs, lam),
+        reverse=True,
+    )
+    return Ks, ds
+
+
+@partial(jax.jit, static_argnames=("nb_iter", "lag_update_step", "line_search",
+                                   "early_stop", "with_callback"))
+def _solve_impl(spec: Spec, cons: Constraints, lam0, U0, nb_iter: int,
+                lag_update_step: int, penalty0, scaling_factor,
+                line_search: bool, early_stop: bool, with_callback: bool):
+    with jax.default_matmul_precision("float32"):
+        return _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step,
+                           penalty0, scaling_factor, line_search, early_stop,
+                           with_callback)
+
+
+def _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step, penalty0,
+                scaling_factor, line_search, early_stop, with_callback):
+    dtype = spec.x0.dtype
+    H, nu, nx = spec.horizon, spec.nu, spec.nx
+    penalty0 = jnp.asarray(penalty0, dtype)
+    scaling = jnp.asarray(scaling_factor, dtype)
+
+    zK = jnp.zeros((H - 1, nu, nx), dtype=dtype)
+    zd = jnp.zeros((H - 1, nu), dtype=dtype)
+    X, fX, U, As, Bs, Js, Is, Cs, cost0, _ = _rollout(
+        spec, cons, lam0, penalty0, jnp.asarray(0.0, dtype), zK, zd,
+        jnp.zeros((H, nx), dtype), U0,
+    )
+
+    def ls_cond(s):
+        first, fail, alpha = s[0], s[1], s[2]
+        return first | (fail & (alpha > 1e-3) & line_search)
+
+    def iter_body(carry):
+        (X, fX, U, As, Bs, Js, Is, Cs, cost0, lam, penalty, it, done) = carry
+        Ks, ds = _backward(spec, cons, lam, X, fX, U, As, Bs, Js, Is, Cs)
+
+        def ls_body(s):
+            _, _, alpha, _ = s
+            alpha = alpha / 2.0
+            out = _rollout(spec, cons, lam, penalty, alpha, Ks, ds, X, U)
+            cost = out[8]
+            fail = (cost >= cost0) | jnp.isnan(cost)
+            return (jnp.asarray(False), fail, alpha, out)
+
+        dummy = (X, fX, U, As, Bs, Js, Is, Cs, cost0, jnp.asarray(0.0, dtype))
+        s0 = (jnp.asarray(True), jnp.asarray(True), jnp.asarray(2.0, dtype), dummy)
+        _, _, alpha, out = jax.lax.while_loop(ls_cond, ls_body, s0)
+        Xn, fXn, Un, Asn, Bsn, Jsn, Isn, Csn, costn, du_acc = out
+
+        # Dual/penalty update every lag_update_step iterations (cpp:202-208).
+        do_update = ((it + 1) % lag_update_step) == 0
+        new_penalty = jnp.where(do_update, penalty * scaling, penalty)
+        new_lam = jnp.where(do_update, jnp.maximum(lam + new_penalty * Csn, 0.0), lam)
+
+        if with_callback:
+            jax.debug.callback(_emit_progress, it + 1, costn, alpha, ordered=True)
+
+        done = early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)
+        return (Xn, fXn, Un, Asn, Bsn, Jsn, Isn, Csn, costn, new_lam,
+                new_penalty, it + 1, done)
+
+    def iter_cond(carry):
+        it, done = carry[11], carry[12]
+        return (it < nb_iter) & ~done
+
+    carry0 = (X, fX, U, As, Bs, Js, Is, Cs, cost0, lam0, penalty0,
+              jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    out = jax.lax.while_loop(iter_cond, iter_body, carry0)
+    X, fX, U, lam, cost, it = out[0], out[1], out[2], out[9], out[8], out[11]
+    return ALILQRResult(X=X, fX=fX, U=U, multipliers=lam, cost=cost, iterations=it)
+
+
+_progress_cb = None
+
+
+def _emit_progress(it, cost, alpha):
+    msg = f"Iteration {int(it)}, Cost: {float(cost):g}, alpha= {float(alpha):g}"
+    if _progress_cb is not None:
+        _progress_cb.notify(msg)
+    else:  # pragma: no cover
+        print(msg)
+
+
+def solve(
+    spec: Spec,
+    constraints: Constraints,
+    init_lambda,
+    U0,
+    nb_iter: int,
+    lag_update_step: int,
+    penalty: float,
+    scaling_factor: float,
+    line_search: bool = True,
+    early_stop: bool = True,
+    callback: Optional[object] = None,
+) -> ALILQRResult:
+    """AL_ILQR::solve(U0, nb_iter, lag_update_step, penalty, scaling_factor,
+    line_search, early_stop, cb) (AL-ILQR.h:35-55)."""
+    global _progress_cb
+    U0 = jnp.asarray(U0)
+    if U0.shape != (spec.horizon - 1, spec.nu):
+        raise ValueError(f"U0 must be [{spec.horizon - 1}, {spec.nu}], got {U0.shape}")
+    lam0 = jnp.asarray(init_lambda)
+    if lam0.ndim == 1:
+        lam0 = jnp.broadcast_to(lam0, (spec.horizon - 1,) + lam0.shape)
+    _progress_cb = callback
+    try:
+        return _solve_impl(spec, constraints, lam0, U0, int(nb_iter),
+                           int(lag_update_step), float(penalty),
+                           float(scaling_factor), bool(line_search),
+                           bool(early_stop), callback is not None)
+    finally:
+        _progress_cb = None
