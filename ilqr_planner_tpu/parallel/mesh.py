@@ -1,0 +1,94 @@
+"""Scenario batching and device-mesh sharding for solver fleets.
+
+The reference solves one problem per process (no parallelism of any kind —
+see SURVEY §2); here scenario parallelism is the primary scaling axis:
+thousands of (x0, targets, precisions) scenarios solve concurrently via
+`vmap`, sharded across chips with `shard_map` over a `Mesh` so each shard
+runs its own solver loop (independent early stopping per shard, no global
+sync in the iteration `while_loop`), with metric reductions riding ICI
+collectives.
+"""
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ilqr_planner_tpu.solvers import ilqr
+from ilqr_planner_tpu.systems.spec import Spec
+
+__all__ = ["make_mesh", "solve_batch", "solve_batch_sharded", "batch_specs"]
+
+
+def make_mesh(shape=None, axis_names=("dp",), devices=None) -> Mesh:
+    """A device mesh. Default: 1-D data-parallel mesh over all devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (devices.size,)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def batch_specs(spec: Spec, overrides: Dict[str, jnp.ndarray]):
+    """Attach batched leaves to a scalar Spec.
+
+    overrides maps Spec field names (e.g. 'x0', 'q0', 'mu', 'prec') to arrays
+    with a leading scenario axis. Returns (batched_spec, in_axes_spec) for
+    vmap: overridden leaves map over axis 0, everything else broadcasts.
+    """
+    spec_b = spec.replace(**{k: jnp.asarray(v) for k, v in overrides.items()})
+    axes = jax.tree_util.tree_map(lambda _: None, spec)
+    axes = axes.replace(**{k: 0 for k in overrides})
+    return spec_b, axes
+
+
+def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int,
+                line_search: bool = True, early_stop: bool = True):
+    """vmap the recursive iLQR over a scenario batch on one device.
+
+    U0s: [B, H-1, nu]. overrides: per-scenario Spec leaves (leading axis B).
+    """
+    spec_b, spec_axes = batch_specs(spec, overrides)
+    f = jax.vmap(
+        lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, line_search, early_stop, False),
+        in_axes=(spec_axes, 0),
+    )
+    return f(spec_b, U0s)
+
+
+def solve_batch_sharded(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
+                        nb_iter: int, mesh: Optional[Mesh] = None,
+                        axis: str = "dp", line_search: bool = True,
+                        early_stop: bool = True):
+    """Shard the scenario batch across a mesh axis with `shard_map`.
+
+    Each shard runs its own jitted solve loop over its local scenarios —
+    shards converge and stop independently; only the caller's final gather
+    touches the interconnect. B must divide evenly by the axis size.
+    """
+    mesh = mesh or make_mesh()
+    spec_b, spec_axes = batch_specs(spec, overrides)
+
+    # Partition specs: overridden (scenario-batched) leaves shard over `axis`,
+    # everything else is replicated.
+    spec_pspec = jax.tree_util.tree_map(lambda _: P(), spec)
+    spec_pspec = spec_pspec.replace(**{k: P(axis) for k in overrides})
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec_pspec, P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def sharded(s_local, U0_local):
+        f = jax.vmap(
+            lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, line_search,
+                                           early_stop, False),
+            in_axes=(spec_axes, 0),
+        )
+        return f(s_local, U0_local)
+
+    return jax.jit(sharded)(spec_b, U0s)
