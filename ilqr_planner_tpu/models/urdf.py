@@ -134,7 +134,11 @@ def chain_from_urdf(
     if not axes:
         raise ValueError("Chain has no actuated joints")
 
+    import jax
     import jax.numpy as jnp
+
+    # f64 silently becomes f32 when x64 is disabled (production TPU mode)
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
 
     return KinematicChain(
         origin_rot=jnp.asarray(np.stack(origin_rot), dtype=dtype),

@@ -185,6 +185,9 @@ def make_spec(
             raise ValueError(
                 f"[{kind}] Wrong keypoint order (nb_deriv): expecting {nb_deriv} got {kp.order}"
             )
+    import jax
+
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     time_axis = kind.endswith("_time")
     if not time_axis and dt is None:
         raise ValueError("dt is required for non-time-optimal systems")
@@ -263,6 +266,9 @@ def sequential_spec(subs: Tuple[Spec, ...], Rt_diag, dtype=jnp.float64) -> Spec:
     cost_uu terms (the reference inherits System::cost_u with the top-level
     R, System.cpp:274-284).
     """
+    import jax
+
+    dtype = jax.dtypes.canonicalize_dtype(dtype)
     s0 = subs[0]
     for s in subs[1:]:
         if s.nx != s0.nx:
