@@ -97,6 +97,7 @@ def chain_from_urdf(
     transform_xyz=(0.0, 0.0, 0.0),
     is_path: bool = True,
     dtype=np.float64,
+    prefer_native: bool = True,
 ) -> KinematicChain:
     """Build a KinematicChain, folding fixed joints and the virtual tip frame.
 
@@ -104,8 +105,20 @@ def chain_from_urdf(
     segment: rotation = KDL EulerZYX(rpy[0], rpy[1], rpy[2]) = Rz(rpy[0]) @
     Ry(rpy[1]) @ Rx(rpy[2]) (KDLRobot.cpp:61-66). Defaults are identity
     (KDLRobot.h:33).
+
+    Parsing uses the native C++ extractor (native/src/urdf_chain.cpp) when
+    built, falling back to the pure-Python parser; both feed the same
+    folding code below.
     """
-    path = parse_urdf(urdf, base_frame, tip_frame, is_path=is_path)
+    path = None
+    if prefer_native:
+        from ilqr_planner_tpu.models import native
+
+        if native.available():
+            path = native.parse_urdf_native(urdf, base_frame, tip_frame,
+                                            is_path=is_path)
+    if path is None:
+        path = parse_urdf(urdf, base_frame, tip_frame, is_path=is_path)
 
     origin_rot, origin_pos, axes, prismatic = [], [], [], []
     R_acc = np.eye(3)

@@ -58,6 +58,47 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
     return f(spec_b, U0s)
 
 
+def solve_batch_chunked(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
+                        nb_iter: int, chunk: int = 768,
+                        line_search: bool = True, early_stop: bool = True):
+    """Large scenario batches as a sequential `lax.map` over vmapped chunks.
+
+    XLA/TPU throughput collapses (~2000x) when a single vmapped solve carries
+    >~768 lanes with lane-varying while_loop conditions (see bench.py notes);
+    chunking keeps each while_loop at the sweet spot while the whole sweep
+    stays one jitted computation. B must be a multiple of `chunk`.
+    """
+    B = U0s.shape[0]
+    if B % chunk:
+        raise ValueError(f"batch {B} must be a multiple of chunk {chunk}")
+    spec_b, spec_axes = batch_specs(spec, overrides)
+
+    def reshape(x):
+        return x.reshape((B // chunk, chunk) + x.shape[1:])
+
+    ov_chunked = {k: reshape(getattr(spec_b, k)) for k in overrides}
+    U0c = reshape(jnp.asarray(U0s))
+
+    @jax.jit
+    def run(ovs, U0s_c):
+        def one_chunk(args):
+            ov_c, U0_c = args
+            s_c = spec_b.replace(**ov_c)
+            f = jax.vmap(
+                lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, line_search,
+                                               early_stop, False),
+                in_axes=(spec_axes, 0),
+            )
+            return f(s_c, U0_c)
+
+        return jax.lax.map(one_chunk, (ovs, U0s_c))
+
+    res = run(ov_chunked, U0c)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((B,) + x.shape[2:]), res
+    )
+
+
 def solve_batch_sharded(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
                         nb_iter: int, mesh: Optional[Mesh] = None,
                         axis: str = "dp", line_search: bool = True,

@@ -1,0 +1,92 @@
+"""Auxiliary subsystem tests: checkpoint/resume, metrics, CSV record&replay,
+chunked batch solving, distributed helpers."""
+
+import numpy as np
+import pytest
+
+from ilqr_planner_tpu.models import Robot, chain_from_urdf
+from ilqr_planner_tpu.parallel import distributed, solve_batch, solve_batch_chunked
+from ilqr_planner_tpu.solvers import ilqr
+from ilqr_planner_tpu.systems.keypoints import PosOrnKeypoint
+from ilqr_planner_tpu.systems.spec import make_spec
+from ilqr_planner_tpu.utils import (
+    MetricsCallback,
+    load_checkpoint,
+    load_csv,
+    save_checkpoint,
+    save_csv,
+    trace,
+)
+
+URDF = "/root/reference/pylqr_planner/Tutorials/model.urdf"
+Q0 = np.array([0.62991112, -0.2329776, -0.01423721, -1.70254115, 0.06251303,
+               1.50592777, 0.71771416])
+
+
+@pytest.fixture(scope="module")
+def spec():
+    robot = Robot.from_chain(chain_from_urdf(URDF, "panda_link0", "panda_tip"))
+    kps = [PosOrnKeypoint(
+        [0.554121212377707, -0.01575049935289518, 0.38295604872511507],
+        [0.014042440828406944, 0.915047647731553, 0.4024820607528928,
+         0.022333898196169735], np.diag([1, 1, 1, .1, .1, .1]), 99)]
+    return make_spec("posorn", robot, kps, np.ones(7) * 1e-5, 100, 1, dt=0.1, q0=Q0)
+
+
+def test_checkpoint_roundtrip(tmp_path, spec):
+    res = ilqr.solve(spec, np.zeros((99, 7)), 3, early_stop=False)
+    state = {"U": res.U, "cost": res.cost, "iterations": res.iterations}
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state)
+    restored = load_checkpoint(path, state)
+    np.testing.assert_allclose(restored["U"], np.asarray(res.U))
+    assert float(restored["cost"]) == float(res.cost)
+    # resume: warm-starting from the checkpointed controls continues descent
+    res2 = ilqr.solve(spec, restored["U"], 3, early_stop=False)
+    assert float(res2.cost) <= float(res.cost) + 1e-12
+
+
+def test_metrics_callback(spec):
+    cb = MetricsCallback()
+    ilqr.solve(spec, np.zeros((99, 7)), 5, callback=cb, early_stop=False)
+    assert len(cb.records) == 5
+    assert cb.records[0]["iteration"] == 1
+    assert all("cost" in r and "alpha" in r and "wall_time" in r for r in cb.records)
+    assert cb.costs == sorted(cb.costs, reverse=True)  # descending cost
+
+
+def test_trace_noop_timer(spec, capsys):
+    with trace():
+        ilqr.solve(spec, np.zeros((99, 7)), 1)
+    assert "[trace]" in capsys.readouterr().out
+
+
+def test_csv_record_and_replay(tmp_path, spec):
+    res = ilqr.solve(spec, np.zeros((99, 7)), 5)
+    path = str(tmp_path / "U.csv")
+    save_csv(np.asarray(res.U), path)
+    U = load_csv(path)
+    np.testing.assert_allclose(U, np.asarray(res.U), atol=1e-15)
+
+
+def test_chunked_matches_plain(spec):
+    B, chunk = 8, 4
+    rng = np.random.default_rng(0)
+    q0s = Q0[None, :] + 0.05 * rng.normal(size=(B, 7))
+    ov = {"q0": q0s, "x0": q0s}
+    U0s = np.zeros((B, 99, 7))
+    plain = solve_batch(spec, ov, U0s, 8)
+    chunked = solve_batch_chunked(spec, ov, U0s, 8, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(chunked.cost), np.asarray(plain.cost),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(chunked.U), np.asarray(plain.U),
+                               atol=1e-9)
+    with pytest.raises(ValueError):
+        solve_batch_chunked(spec, ov, U0s, 8, chunk=3)
+
+
+def test_distributed_single_process_noop():
+    distributed.initialize()  # no coordinator configured -> no-op
+    assert distributed.is_initialized()
+    s = distributed.process_summary()
+    assert s["process_count"] == 1 and s["local_devices"] == 8
