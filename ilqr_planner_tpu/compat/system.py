@@ -67,7 +67,22 @@ class PosOrnKeypoint(_kp.PosOrnKeypoint, _KpAccessors):
 
 
 class PosOrnKeypointDistFunct(_kp.PosOrnKeypointDistFunct, _KpAccessors):
-    pass
+    """First order: (pos, orn, Q, pos_thresh, orn_thresh, timestep).
+    Second order: (pos, dpos, orn, dorn, Q, pos_thresh, orn_thresh, timestep)
+    (bindings.cpp:303-306)."""
+
+    def __init__(self, *args, **kwargs):
+        if len(args) == 6 and not kwargs:
+            pos, orn, Q, pos_thresh, orn_thresh, ts = args
+            super().__init__(pos, orn, Q, ts, pos_radius=pos_thresh,
+                             orn_thresh=orn_thresh)
+        elif len(args) == 8 and not kwargs:
+            pos, dpos, orn, dorn, Q, pos_thresh, orn_thresh, ts = args
+            super().__init__(pos, orn, Q, ts, pos_radius=pos_thresh,
+                             orn_thresh=orn_thresh, dposition=dpos,
+                             dorientation=dorn)
+        else:
+            super().__init__(*args, **kwargs)
 
 
 class SpacetimeKeypoint(_kp.SpacetimeKeypoint, _KpAccessors):

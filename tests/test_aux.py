@@ -90,3 +90,32 @@ def test_distributed_single_process_noop():
     assert distributed.is_initialized()
     s = distributed.process_summary()
     assert s["process_count"] == 1 and s["local_devices"] == 8
+
+
+def test_matrix_list_roundtrip(tmp_path):
+    from ilqr_planner_tpu.utils import load_matrix_list, save_matrix_list
+
+    mats = [np.arange(6.0).reshape(2, 3), np.eye(4) * 0.5]
+    path = str(tmp_path / "mats.csv")
+    save_matrix_list(mats, path)
+    out = load_matrix_list(path)
+    assert len(out) == 2
+    np.testing.assert_allclose(out[0], mats[0])
+    np.testing.assert_allclose(out[1], mats[1])
+
+
+def test_jac_pseudo_inverse():
+    from ilqr_planner_tpu.ops import jac_pseudo_inverse
+
+    rng = np.random.default_rng(0)
+    J = rng.normal(size=(6, 7))
+    Minv = np.diag(rng.uniform(0.5, 2.0, size=7))
+    Jinv = np.asarray(jac_pseudo_inverse(J, Minv))
+    # right inverse: J @ Jinv = I
+    np.testing.assert_allclose(J @ Jinv, np.eye(6), atol=1e-10)
+    # matches the closed form Minv J^T (J Minv J^T)^-1 (utils.cpp:64-70)
+    expect = Minv @ J.T @ np.linalg.inv(J @ Minv @ J.T)
+    np.testing.assert_allclose(Jinv, expect, atol=1e-10)
+    # unweighted variant is the Moore-Penrose right inverse
+    np.testing.assert_allclose(np.asarray(jac_pseudo_inverse(J)),
+                               np.linalg.pinv(J), atol=1e-10)
