@@ -59,6 +59,11 @@ def rollout(spec: Spec, alpha, Ks, ds, Xref, Uref):
     fx0, J0 = funcs.fx_jac(spec, x0)
     dtype = x0.dtype
 
+    # For LTI dynamics (everything but the time-optimal kinds) A and B are
+    # constant, so the scan neither emits nor the solver carries per-step
+    # A/B arrays — a large cut in the while_loop working set per scenario.
+    lti = funcs.constant_AB(spec, dtype) is not None
+
     def step(carry, inp):
         x, fx, cost, du_acc = carry
         K, d, xo, uo, k = inp
@@ -68,13 +73,15 @@ def rollout(spec: Spec, alpha, Ks, ds, Xref, Uref):
         x1, A, B = funcs.dynamics(spec, x, u)
         fx1, J1 = funcs.fx_jac(spec, x1)
         du_acc = du_acc + jnp.sqrt(jnp.sum(du * du))
-        return (x1, fx1, cost + c, du_acc), (x1, fx1, u, A, B, J1)
+        ab = () if lti else (A, B)
+        return (x1, fx1, cost + c, du_acc), (x1, fx1, u, J1, ab)
 
     ks = jnp.arange(spec.horizon - 1)
     init = (x0, fx0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
-    (xH, fxH, cost, du_acc), (Xs, fXs, U, As, Bs, Js) = jax.lax.scan(
+    (xH, fxH, cost, du_acc), (Xs, fXs, U, Js, ABs) = jax.lax.scan(
         step, init, (Ks, ds, Xref[:-1], Uref, ks)
     )
+    As, Bs = ((), ()) if lti else ABs
     cost = cost + funcs.final_cost(spec, xH, fxH)
     X = jnp.concatenate([x0[None], Xs], axis=0)
     fX = jnp.concatenate([fx0[None], fXs], axis=0)
@@ -100,10 +107,15 @@ def _backward(spec: Spec, X, fX, U, As, Bs, Js):
     )
 
     eye_reg = 1e-6 * jnp.eye(nu, dtype=dtype)
+    const_ab = funcs.constant_AB(spec, dtype) if isinstance(As, tuple) else None
 
     def bstep(carry, inp):
         P, p = carry
-        A, B, lx, lu, lxx = inp
+        if const_ab is not None:
+            A, B = const_ab
+            lx, lu, lxx = inp
+        else:
+            A, B, lx, lu, lxx = inp
         PA = P @ A
         Qux = B.T @ PA
         Quu = R + B.T @ P @ B
@@ -118,9 +130,8 @@ def _backward(spec: Spec, X, fX, U, As, Bs, Js):
         p1 = Qx + K.T @ (Quu @ d) + K.T @ Qu + Qxu @ d
         return (P1, p1), (K, d)
 
-    (_, _), (Ks, ds) = jax.lax.scan(
-        bstep, (lN_xx, lN_x), (As, Bs, l_x, l_u, l_xx), reverse=True
-    )
+    scan_in = (l_x, l_u, l_xx) if const_ab is not None else (As, Bs, l_x, l_u, l_xx)
+    (_, _), (Ks, ds) = jax.lax.scan(bstep, (lN_xx, lN_x), scan_in, reverse=True)
     return Ks, ds
 
 

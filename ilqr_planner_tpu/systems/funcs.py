@@ -274,6 +274,25 @@ def cost_gradients(spec: Spec, x, fx, J, u, k):
 # dynamics
 # --------------------------------------------------------------------------
 
+def constant_AB(spec: Spec, dtype):
+    """(A, B) for the state-independent integrators, or None for the
+    time-optimal kinds whose B depends on (x, u)
+    (PosOrnTimePlannerSys.cpp:149-184). Solvers use this to avoid carrying
+    per-step A/B arrays for LTI dynamics."""
+    if spec.kind == "sequential":
+        return constant_AB(spec.subs[0], dtype)
+    if spec.time_optimal:
+        return None
+    dof, nx, nu = spec.dof, spec.nx, spec.nu
+    dt = spec.dt.astype(dtype)
+    eye = jnp.eye(dof, dtype=dtype)
+    if spec.nb_deriv == 1:
+        return jnp.eye(nx, dtype=dtype), dt * jnp.eye(nx, nu, dtype=dtype)
+    A = jnp.eye(nx, dtype=dtype).at[:dof, dof:].set(dt * eye)
+    B = jnp.concatenate([0.5 * dt * dt * eye, dt * eye], axis=0)
+    return A, B
+
+
 def dynamics(spec: Spec, x, u):
     """One integrator step: (x_next, A, B).
 
