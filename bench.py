@@ -18,12 +18,39 @@ import numpy as np
 
 REFERENCE_SOLVES_PER_S = 1.0 / 0.0192  # 19.2 ms/solve, 1 CPU core
 
-# 768 lanes: empirically the largest batch before an XLA TPU pathology with
-# lane-varying while_loop conditions (early stop / line search) collapses
-# throughput (~2000x) — see PROGRESS notes. Chunk above this.
-BATCH = 768
+# Lane-count cliff: an XLA TPU pathology with lane-varying while_loop
+# conditions (early stop / line search) collapses throughput ~2500x above a
+# batch-size threshold, measured precisely between 1216 (961k solves/s) and
+# 1280 (333 solves/s) lanes on v5e. Run at the measured sweet spot with a
+# collapse guard that falls back to smaller batches if the threshold ever
+# moves with a compiler update.
+BATCH_CANDIDATES = (1216, 1152, 768)
+COLLAPSE_US_PER_SOLVE = 50.0  # healthy is ~1-3 us/solve; collapsed is ~3000
 NB_ITER = 10
 REPEATS = 5
+
+
+def _run_batch(solve_batch, spec, Q0, batch, jnp):
+    rng = np.random.default_rng(0)
+    q0s = (Q0[None, :] + 0.05 * rng.normal(size=(batch, 7))).astype(np.float32)
+    overrides = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
+    U0s = jnp.zeros((batch, 99, 7), jnp.float32)
+
+    import jax
+
+    t0 = time.time()
+    res = solve_batch(spec, overrides, U0s, NB_ITER)
+    jax.block_until_ready(res.cost)
+    print(f"B={batch}: compile+first solve {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        res = solve_batch(spec, overrides, U0s, NB_ITER)
+        jax.block_until_ready(res.cost)
+        times.append(time.time() - t0)
+    return min(times), res
 
 
 def main():
@@ -37,23 +64,12 @@ def main():
     print(f"device: {dev}", file=sys.stderr)
 
     spec = _panda_spec(100, 49, 99, jnp.float32)
-    rng = np.random.default_rng(0)
-    q0s = (Q0[None, :] + 0.05 * rng.normal(size=(BATCH, 7))).astype(np.float32)
-    overrides = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
-    U0s = jnp.zeros((BATCH, 99, 7), jnp.float32)
-
-    t0 = time.time()
-    res = solve_batch(spec, overrides, U0s, NB_ITER)
-    jax.block_until_ready(res.cost)
-    print(f"compile+first solve: {time.time() - t0:.1f}s", file=sys.stderr)
-
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.time()
-        res = solve_batch(spec, overrides, U0s, NB_ITER)
-        jax.block_until_ready(res.cost)
-        times.append(time.time() - t0)
-    best = min(times)
+    for BATCH in BATCH_CANDIDATES:
+        best, res = _run_batch(solve_batch, spec, Q0, BATCH, jnp)
+        if best / BATCH * 1e6 < COLLAPSE_US_PER_SOLVE:
+            break
+        print(f"B={BATCH}: collapsed ({best / BATCH * 1e6:.0f} us/solve), "
+              f"retrying smaller", file=sys.stderr)
 
     costs = np.asarray(res.cost)
     median_cost = float(np.median(costs))
