@@ -17,7 +17,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LQT", "riccati", "batch_solution"]
+from ilqr_planner_tpu.ops import pscan as pscan_ops
+from ilqr_planner_tpu.ops.linalg import solve_ge
+
+__all__ = ["LQT", "riccati", "riccati_parallel", "batch_solution"]
 
 
 @partial(jax.jit)
@@ -38,9 +41,9 @@ def riccati(A, B, Qs, Rt, mu):
             P, d = carry
             Qt, mu_i, mu_ip1 = inp
             BtPB = B.T @ P @ B + Rt
-            G = jnp.linalg.solve(BtPB, B.T @ P)  # (B'PB+R)^-1 B'P
+            G = solve_ge(BtPB, B.T @ P)  # (B'PB+R)^-1 B'P
             Pn = Qt - A.T @ (P @ B @ G - P) @ A
-            dn = (A.T - A.T @ P @ B @ jnp.linalg.solve(BtPB, B.T)) @ (
+            dn = (A.T - A.T @ P @ B @ solve_ge(BtPB, B.T)) @ (
                 P @ (A @ mu_i - mu_ip1) + d
             )
             return (Pn, dn), (Pn, dn)
@@ -52,6 +55,45 @@ def riccati(A, B, Qs, Rt, mu):
         )
         Ps = jnp.concatenate([Ps, P_T[None]], axis=0)
         ds = jnp.concatenate([ds, d_T[None]], axis=0)
+        return Ps, ds
+
+
+@partial(jax.jit)
+def riccati_parallel(A, B, Qs, Rt, mu):
+    """riccati() via parallel-prefix scans: O(log N) depth instead of N
+    sequential steps (same inputs/outputs; see ops.pscan).
+
+    The value Hessians P_t come from the associative cost-to-go scan (no
+    linear stage cost, eta = 0); the reference's feedforward d-vector
+    recursion d_t = E_t (P_{t+1}(A mu_t - mu_{t+1}) + d_{t+1}) with
+    E_t = A^T (I - P_{t+1} B (B^T P_{t+1} B + R)^{-1} B^T) is affine in d,
+    so it parallelizes with a second associative scan over (matrix, offset)
+    pairs (ops.pscan.affine_suffix).
+    """
+    with jax.default_matmul_precision("float32"):
+        nx = A.shape[0]
+        nu = B.shape[1]
+        N = Qs.shape[0]
+        dtype = A.dtype
+        mu_t = mu.reshape(N, nx)
+
+        # P_t via the conditional-value-function scan: stage cost Q_t at
+        # x_t, control cost R, no linear terms.
+        As = jnp.broadcast_to(A, (N - 1, nx, nx))
+        Bs = jnp.broadcast_to(B, (N - 1, nx, nu))
+        zx = jnp.zeros((N - 1, nx), dtype)
+        zu = jnp.zeros((N - 1, nu), dtype)
+        Rt_diag = jnp.diagonal(Rt)
+        Ps, _ = pscan_ops.lqr_cost_to_go(As, Bs, zx, zu, Qs[:-1],
+                                         jnp.zeros(nx, dtype), Qs[-1], Rt_diag)
+
+        def dstep(P1, mu_i, mu_ip1):
+            BtPB = B.T @ P1 @ B + Rt
+            E = A.T - A.T @ P1 @ B @ solve_ge(BtPB, B.T)
+            return E, (E @ (P1 @ (A @ mu_i - mu_ip1)))
+
+        Es, vs = jax.vmap(dstep)(Ps[1:], mu_t[:-1], mu_t[1:])
+        ds = pscan_ops.affine_suffix(Es, vs)
         return Ps, ds
 
 
@@ -118,8 +160,11 @@ class LQT:
         self._Su = None
 
     # -- dynamic programming path ------------------------------------------
-    def solve_dp(self):
-        self._Ps, self._ds = riccati(self.A, self.B, self.Qs, self.Rt, self.mu)
+    def solve_dp(self, parallel: bool = False):
+        """Riccati solve; parallel=True uses the O(log N)-depth
+        associative-scan path (riccati_parallel), same results."""
+        fn = riccati_parallel if parallel else riccati
+        self._Ps, self._ds = fn(self.A, self.B, self.Qs, self.Rt, self.mu)
 
     def get_command(self, timestep: int, curr_state=None):
         nx = self.nb_state_var
@@ -136,8 +181,8 @@ class LQT:
         dt = self._ds[t]
         mu_t = self.mu[t * nx : (t + 1) * nx]
         BtPB = self.B.T @ Pt @ self.B + self.Rt
-        Kt = jnp.linalg.solve(BtPB, self.B.T @ Pt @ self.A)
-        ft = -jnp.linalg.solve(BtPB, self.B.T @ (Pt @ (self.A @ mu_t - mu_t) + dt))
+        Kt = solve_ge(BtPB, self.B.T @ Pt @ self.A)
+        ft = -solve_ge(BtPB, self.B.T @ (Pt @ (self.A @ mu_t - mu_t) + dt))
         return Kt @ (mu_t - jnp.asarray(curr_state)) + ft
 
     # -- batch path --------------------------------------------------------

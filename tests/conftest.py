@@ -12,7 +12,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# This environment's XLA CPU build heap-corrupts ("free(): invalid pointer",
+# "corrupted size vs. prev_size") while OPTIMIZING some float64 scan+linalg
+# programs — reproducible with pure jax (no project code), values/shape
+# dependent, f32-clean. Optimization level 0 sidesteps the buggy pass; the
+# oracle tests trade some runtime for correct, crash-free compilation.
+if "xla_backend_optimization_level" not in _flags:
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
