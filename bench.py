@@ -18,14 +18,10 @@ import numpy as np
 
 REFERENCE_SOLVES_PER_S = 1.0 / 0.0192  # 19.2 ms/solve, 1 CPU core
 
-# Lane-count cliff: an XLA TPU pathology with lane-varying while_loop
-# conditions (early stop / line search) collapses throughput ~2500x above a
-# batch-size threshold, measured precisely between 1216 (961k solves/s) and
-# 1280 (333 solves/s) lanes on v5e. Run at the measured sweet spot with a
-# collapse guard that falls back to smaller batches if the threshold ever
-# moves with a compiler update.
-BATCH_CANDIDATES = (1216, 1152, 768)
-COLLAPSE_US_PER_SOLVE = 50.0  # healthy is ~1-3 us/solve; collapsed is ~3000
+# Throughput is non-monotone in batch size (per-lane cost jumps once the
+# compiled program crosses tiling/memory thresholds), so measure a few
+# candidate batch sizes and report the best sustained rate.
+BATCH_CANDIDATES = (768, 1152, 1536, 2304)
 NB_ITER = 10
 REPEATS = 5
 
@@ -36,19 +32,20 @@ def _run_batch(solve_batch, spec, Q0, batch, jnp):
     overrides = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((batch, 99, 7), jnp.float32)
 
-    import jax
-
     t0 = time.time()
     res = solve_batch(spec, overrides, U0s, NB_ITER)
-    jax.block_until_ready(res.cost)
+    np.asarray(res.cost)
     print(f"B={batch}: compile+first solve {time.time() - t0:.1f}s",
           file=sys.stderr)
 
+    # Time to materialized-result: fetch the per-scenario costs to host each
+    # repeat. jax.block_until_ready does not reliably wait on the remote
+    # (axon tunnel) backend, so a value fetch is the only honest sync point.
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
         res = solve_batch(spec, overrides, U0s, NB_ITER)
-        jax.block_until_ready(res.cost)
+        np.asarray(res.cost)
         times.append(time.time() - t0)
     return min(times), res
 
@@ -64,12 +61,13 @@ def main():
     print(f"device: {dev}", file=sys.stderr)
 
     spec = _panda_spec(100, 49, 99, jnp.float32)
-    for BATCH in BATCH_CANDIDATES:
-        best, res = _run_batch(solve_batch, spec, Q0, BATCH, jnp)
-        if best / BATCH * 1e6 < COLLAPSE_US_PER_SOLVE:
-            break
-        print(f"B={BATCH}: collapsed ({best / BATCH * 1e6:.0f} us/solve), "
-              f"retrying smaller", file=sys.stderr)
+    results = []
+    for batch in BATCH_CANDIDATES:
+        t, r = _run_batch(solve_batch, spec, Q0, batch, jnp)
+        print(f"B={batch}: {t * 1e3:.1f} ms -> {batch / t:,.0f} solves/s",
+              file=sys.stderr)
+        results.append((batch / t, batch, t, r))
+    _, BATCH, best, res = max(results)
 
     costs = np.asarray(res.cost)
     median_cost = float(np.median(costs))

@@ -15,7 +15,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["solve_ge", "inv_ge"]
+__all__ = ["solve_ge", "inv_ge", "solve_spd", "inv_spd"]
 
 
 def _solve_ge_single(A, B):
@@ -59,3 +59,37 @@ def inv_ge(A):
     n = A.shape[-1]
     I = jnp.eye(n, dtype=A.dtype)
     return solve_ge(A, jnp.broadcast_to(I, A.shape))
+
+
+def solve_spd(A, B):
+    """A^{-1} B for (near-)symmetric-positive-definite A, no pivoting.
+
+    The hot solver inverses are all SPD-plus-ridge (Quu + 1e-6 I,
+    B^T P B + R), where Gauss-Jordan without pivoting is stable. Dropping
+    the pivot search makes every row index STATIC, so the elimination
+    unrolls into plain slices — under vmap this stays fully vectorized
+    (the pivoted version's per-lane row swaps lower to gathers/scatters,
+    ~10x slower on TPU for the 7-15 dim matrices here).
+
+    Batch dims broadcast like solve_ge; B may be a vector [..., n].
+    """
+    vec = B.ndim == A.ndim - 1
+    if vec:
+        B = B[..., None]
+    n = A.shape[-1]
+    B = jnp.broadcast_to(B, A.shape[:-2] + B.shape[-2:])
+    M = jnp.concatenate([A, B], axis=-1)  # [..., n, n+m]
+    for i in range(n):  # n is static: unrolled, all indices static
+        piv_row = M[..., i, :] / M[..., i, i:i + 1]
+        col = M[..., :, i]
+        factors = col.at[..., i].set(0.0)
+        M = M - factors[..., None] * piv_row[..., None, :]
+        M = M.at[..., i, :].set(piv_row)
+    return M[..., :, n:][..., 0] if vec else M[..., :, n:]
+
+
+def inv_spd(A):
+    """Inverse of (near-)SPD A via solve_spd against the identity."""
+    n = A.shape[-1]
+    I = jnp.eye(n, dtype=A.dtype)
+    return solve_spd(A, jnp.broadcast_to(I, A.shape))

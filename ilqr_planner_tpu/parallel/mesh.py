@@ -51,8 +51,10 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
     U0s: [B, H-1, nu]. overrides: per-scenario Spec leaves (leading axis B).
     """
     spec_b, spec_axes = batch_specs(spec, overrides)
+    kp_steps = ilqr.static_kp_steps(spec_b)
     f = jax.vmap(
-        lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, line_search, early_stop, False),
+        lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, line_search, early_stop,
+                                       False, False, kp_steps),
         in_axes=(spec_axes, 0),
     )
     return f(spec_b, U0s)
@@ -78,6 +80,7 @@ def solve_batch_chunked(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
 
     ov_chunked = {k: reshape(getattr(spec_b, k)) for k in overrides}
     U0c = reshape(jnp.asarray(U0s))
+    kp_steps = ilqr.static_kp_steps(spec_b)
 
     @jax.jit
     def run(ovs, U0s_c):
@@ -86,7 +89,8 @@ def solve_batch_chunked(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
             s_c = spec_b.replace(**ov_c)
             f = jax.vmap(
                 lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, line_search,
-                                               early_stop, False),
+                                               early_stop, False, False,
+                                               kp_steps),
                 in_axes=(spec_axes, 0),
             )
             return f(s_c, U0_c)
@@ -117,6 +121,8 @@ def solve_batch_sharded(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
     spec_pspec = jax.tree_util.tree_map(lambda _: P(), spec)
     spec_pspec = spec_pspec.replace(**{k: P(axis) for k in overrides})
 
+    kp_steps = ilqr.static_kp_steps(spec_b)
+
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -127,7 +133,8 @@ def solve_batch_sharded(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
     def sharded(s_local, U0_local):
         f = jax.vmap(
             lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, line_search,
-                                           early_stop, False),
+                                           early_stop, False, False,
+                                           kp_steps),
             in_axes=(spec_axes, 0),
         )
         return f(s_local, U0_local)

@@ -52,6 +52,7 @@ def fleet_step(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, kp_idx,
     n_sp = mesh.shape[sp_axis]
     assert W % n_sp == 0, f"(H-1)*nu={W} must divide sp axis size {n_sp}"
 
+    kp_steps_static = ilqr.static_kp_steps(spec_b)
     spec_pspec = jax.tree_util.tree_map(lambda _: P(), spec)
     spec_pspec = spec_pspec.replace(**{k: P(dp_axis) for k in overrides})
 
@@ -65,7 +66,8 @@ def fleet_step(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, kp_idx,
     def step(s_local, U0_local):
         # --- dp: local sub-fleet of full solves -------------------------
         solve = jax.vmap(
-            lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, True, True, False),
+            lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, True, True, False,
+                                           False, kp_steps_static),
             in_axes=(spec_axes, 0),
         )
         res = solve(s_local, U0_local)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ilqr_planner_tpu.ops.linalg import inv_ge
+from ilqr_planner_tpu.ops.linalg import inv_spd
 from ilqr_planner_tpu.systems import funcs
 from ilqr_planner_tpu.systems.spec import Spec
 
@@ -139,7 +139,7 @@ def _backward(spec: Spec, cons: Constraints, lam, X, fX, U, As, Bs, Js, Is, Cs):
         lig = lam_k + Ik * g
         Qu = lu + B.T @ p + cu.T @ lig
         Qx = lx + A.T @ p + cx.T @ lig
-        Minv = -inv_ge(Quu + eye_reg)
+        Minv = -inv_spd(Quu + eye_reg)
         K = Minv @ Qux
         d = Minv @ Qu
         P1 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qxu @ K

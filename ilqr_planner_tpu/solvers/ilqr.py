@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ilqr_planner_tpu.ops import pscan as pscan_ops
-from ilqr_planner_tpu.ops.linalg import inv_ge
+from ilqr_planner_tpu.ops.linalg import inv_spd
 from ilqr_planner_tpu.systems import funcs
 from ilqr_planner_tpu.systems.spec import Spec
 
@@ -102,7 +102,6 @@ def _backward(spec: Spec, X, fX, U, As, Bs, Js, pscan: bool = False):
     H = spec.horizon
     nu = spec.nu
     dtype = X.dtype
-    R = jnp.diag(spec.Rt.astype(dtype))
 
     ks = jnp.arange(H - 1)
     l_x, l_u, l_xx = jax.vmap(
@@ -111,6 +110,16 @@ def _backward(spec: Spec, X, fX, U, As, Bs, Js, pscan: bool = False):
     lN_x, _, lN_xx = funcs.cost_gradients(
         spec, X[-1], fX[-1], Js[-1], jnp.zeros(nu, dtype), H - 1
     )
+    return _backward_core(spec, As, Bs, l_x, l_u, l_xx, lN_x, lN_xx, pscan)
+
+
+def _backward_core(spec: Spec, As, Bs, l_x, l_u, l_xx, lN_x, lN_xx,
+                   pscan: bool = False):
+    """Gain computation from precomputed quadratized stage terms."""
+    H = spec.horizon
+    nu = spec.nu
+    dtype = l_x.dtype
+    R = jnp.diag(spec.Rt.astype(dtype))
 
     eye_reg = 1e-6 * jnp.eye(nu, dtype=dtype)
     const_ab = funcs.constant_AB(spec, dtype) if isinstance(As, tuple) else None
@@ -129,7 +138,7 @@ def _backward(spec: Spec, X, fX, U, As, Bs, Js, pscan: bool = False):
 
         def gains(A, B, lu, P1, p1):
             Quu = R + B.T @ P1 @ B
-            Minv = -inv_ge(Quu + eye_reg)
+            Minv = -inv_spd(Quu + eye_reg)
             return Minv @ (B.T @ P1 @ A), Minv @ (lu + B.T @ p1)
 
         return jax.vmap(gains)(As_full, Bs_full, l_u, Ps[1:], ps[1:])
@@ -148,7 +157,7 @@ def _backward(spec: Spec, X, fX, U, As, Bs, Js, pscan: bool = False):
         Qxu = Qux.T
         Qu = lu + B.T @ p
         Qx = lx + A.T @ p
-        Minv = -inv_ge(Quu + eye_reg)
+        Minv = -inv_spd(Quu + eye_reg)
         K = Minv @ Qux
         d = Minv @ Qu
         P1 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qxu @ K
@@ -160,21 +169,45 @@ def _backward(spec: Spec, X, fX, U, As, Bs, Js, pscan: bool = False):
     return Ks, ds
 
 
+def static_kp_steps(spec: Spec):
+    """Keypoint timesteps as a static tuple, read from the concrete (host)
+    kp_mask arrays. Must be called OUTSIDE jit on a concrete Spec; union
+    over subsystems for sequential kinds and over any leading batch dims."""
+    import numpy as np
+
+    def mask_of(s):
+        if s.kind == "sequential":
+            ms = [mask_of(sub) for sub in s.subs]
+            return np.any(np.stack(ms), axis=0)
+        m = np.asarray(s.kp_mask) != 0
+        return m.reshape(-1, m.shape[-1]).any(axis=0)
+
+    return tuple(int(k) for k in np.nonzero(mask_of(spec))[0])
+
+
 @partial(jax.jit, static_argnames=("nb_iter", "line_search", "early_stop",
-                                   "with_callback", "pscan"))
+                                   "with_callback", "pscan", "kp_steps"))
 def _solve_impl(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
-                with_callback: bool, pscan: bool = False):
+                with_callback: bool, pscan: bool = False, kp_steps=None):
     # TPU MXU default matmul precision is bfloat16, whose 8-bit mantissa
     # diverges the Gauss-Newton iteration (NaN after convergence); force full
     # f32 accumulation for every dot traced inside the solve. Matrices here
     # are tiny (<=15 dims), so the 3/6-pass penalty is irrelevant.
     with jax.default_matmul_precision("float32"):
         return _solve_body(spec, U0, nb_iter, line_search, early_stop,
-                           with_callback, pscan)
+                           with_callback, pscan, kp_steps)
 
 
 def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
-                with_callback: bool, pscan: bool = False):
+                with_callback: bool, pscan: bool = False, kp_steps=None):
+    if not with_callback and kp_steps is not None:
+        # Fast path: identical numerics, restructured control flow and
+        # FK-sparse evaluation (see _solve_body_sparse). The while_loop path
+        # below is kept for callback runs — its per-executed-iteration host
+        # notifications mirror the reference's logging — and for callers
+        # that cannot provide static keypoint steps.
+        return _solve_body_sparse(spec, U0, nb_iter, line_search, early_stop,
+                                  pscan, kp_steps)
     dtype = spec.x0.dtype
     H, nu, nx = spec.horizon, spec.nu, spec.nx
 
@@ -228,6 +261,157 @@ def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: boo
                       iterations=it, alpha=alpha)
 
 
+def _light_rollout(spec: Spec, alpha, Ks, ds, Xref, Uref, kp_steps):
+    """FK-free closed-loop rollout with exact cost accounting.
+
+    The dynamics are pure integrators — FK never enters the state recursion
+    (dynamics() above is kinematics-free) — and the keypoint residual term
+    e^T P e is exactly zero wherever no keypoint sits (P = 0, e masked,
+    System.cpp:103-109). So the sequential scan only integrates states and
+    accumulates the cheap cost pieces (control penalty at keypoint steps,
+    joint-limit penalties), and FK runs ONLY at the statically known
+    keypoint steps afterwards. This removes the 7-joint chain walk +
+    Jacobian build from every step of every line-search trial — the
+    dominant cost of the naive rollout — while producing the identical cost
+    value. Returns (X, U, ABs, cost, du_acc)."""
+    x0 = spec.x0
+    dtype = x0.dtype
+    lti = funcs.constant_AB(spec, dtype) is not None
+
+    def step(carry, inp):
+        x, cost, du_acc = carry
+        K, d, xo, uo, k = inp
+        du = K @ (x - xo) + alpha * d
+        u = uo + du
+        lim_c, _, _ = funcs._limit_triplet(spec, x)
+        c = funcs.ctrl_cost(spec, u, k) + lim_c
+        x1, A, B = funcs.dynamics(spec, x, u)
+        du_acc = du_acc + jnp.sqrt(jnp.sum(du * du))
+        ab = () if lti else (A, B)
+        return (x1, cost + c, du_acc), (x1, u, ab)
+
+    ks = jnp.arange(spec.horizon - 1)
+    init = (x0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
+    (xH, cost, du_acc), (Xs, U, ABs) = jax.lax.scan(
+        step, init, (Ks, ds, Xref[:-1], Uref, ks)
+    )
+    X = jnp.concatenate([x0[None], Xs], axis=0)
+    # Final-step limit penalty (final_cost = stage cost at H-1 with u = 0).
+    lim_N, _, _ = funcs._limit_triplet(spec, xH)
+    cost = cost + lim_N
+    # Keypoint residual costs at the statically known steps only.
+    for k in kp_steps:
+        fx, _ = funcs.fx_jac(spec, X[k])
+        e = funcs.residual(spec, fx, k)
+        cost = cost + e @ (funcs.prec_at(spec, k) @ e)
+    return X, U, ABs, cost, du_acc
+
+
+def _grads_sparse(spec: Spec, X, U, kp_steps):
+    """Quadratized stage terms with FK only at keypoint steps.
+
+    At steps without a keypoint P = 0, so l_x = -L^T q and l_xx = L^T L
+    (limits only, no Jacobian needed — System.cpp:248-311); the J^T P e /
+    J^T P J contributions are scattered in at the static keypoint steps.
+    """
+    H, nu, nx = spec.horizon, spec.nu, spec.nx
+    dtype = X.dtype
+
+    _, Lq, L2 = jax.vmap(lambda x: funcs._limit_triplet(spec, x))(X)
+    l_x = -Lq[:-1]
+    l_xx = jax.vmap(jnp.diag)(L2[:-1])
+    l_u = spec.Rt.astype(dtype)[None, :] * U
+    lN_x = -Lq[-1]
+    lN_xx = jnp.diag(L2[-1])
+
+    for k in kp_steps:
+        fx, J = funcs.fx_jac(spec, X[k])
+        e = funcs.residual(spec, fx, k)
+        P = funcs.prec_at(spec, k)
+        gx = -(J.T @ (P @ e))
+        gxx = J.T @ P @ J
+        if k == H - 1:
+            lN_x = lN_x + gx
+            lN_xx = lN_xx + gxx
+        else:
+            l_x = l_x.at[k].add(gx)
+            l_xx = l_xx.at[k].add(gxx)
+    return l_x, l_u, l_xx, lN_x, lN_xx
+
+
+def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
+                       early_stop: bool, pscan: bool, kp_steps):
+    """Control-flow- and FK-restructured solve with identical numerics.
+
+    Three restructurings vs the reference-shaped while_loop path (results
+    identical to ~1e-12 in f64):
+      * FK-sparse rollouts/gradients (see _light_rollout/_grads_sparse);
+      * the backtracking line search evaluates its trials alpha = 1, 1/2,
+        ..., 2^-10 as a masked scan adopting the FIRST acceptable trial
+        (identical decision to the sequential backtracking, including the
+        reference's unconditional adoption of the last trial on floor-out,
+        ILQRRecursive.cpp:101-157);
+      * iterations run as a masked lax.scan — early-stopped lanes freeze,
+        so batched lanes never serialize each other.
+    The final trajectory's fX is computed once at the end, vectorized over
+    the horizon (it is pure FK of the accepted states).
+    """
+    dtype = spec.x0.dtype
+    H, nu, nx = spec.horizon, spec.nu, spec.nx
+
+    zK = jnp.zeros((H - 1, nu, nx), dtype=dtype)
+    zd = jnp.zeros((H - 1, nu), dtype=dtype)
+    X, U, ABs, cost0, _ = _light_rollout(
+        spec, jnp.asarray(0.0, dtype), zK, zd, jnp.zeros((H, nx), dtype), U0,
+        kp_steps)
+    if line_search:
+        alphas = (2.0 ** -jnp.arange(0, 11)).astype(dtype)  # 1 .. 2^-10
+    else:
+        alphas = jnp.ones((1,), dtype)  # single unconditional trial at 1
+
+    def iter_body(carry, _):
+        X, U, ABs, cost0, Ks, ds, it, done, alpha_l, du_l = carry
+        As, Bs = ABs if isinstance(ABs, tuple) and len(ABs) == 2 else ((), ())
+        l_terms = _grads_sparse(spec, X, U, kp_steps)
+        Ks_n, ds_n = _backward_core(spec, As, Bs, *l_terms, pscan)
+
+        def trial(tc, a):
+            accepted, best = tc
+            out = _light_rollout(spec, a, Ks_n, ds_n, X, U, kp_steps)
+            cost = out[3]
+            ok = (cost < cost0) & ~jnp.isnan(cost)
+            # Adopt if nothing accepted yet: the first passing alpha wins;
+            # if none ever passes, the last trial (floor-out) sticks.
+            take = ~accepted
+            best = jax.tree_util.tree_map(
+                lambda b, o: jnp.where(take, o, b), best, out + (a,))
+            return (accepted | ok, best), None
+
+        dummy = (X, U, ABs, cost0, jnp.asarray(0.0, dtype),
+                 jnp.asarray(1.0, dtype))
+        (acc, picked), _ = jax.lax.scan(
+            trial, (jnp.asarray(False), dummy), alphas)
+        Xn, Un, ABsn, costn, du_acc, alpha = picked
+
+        new = (Xn, Un, ABsn, costn, Ks_n, ds_n, it + 1,
+               done | (early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)
+                       & (costn < 1e-3)),
+               alpha, du_acc)
+        old = (X, U, ABs, cost0, Ks, ds, it, done, alpha_l, du_l)
+        carry = jax.tree_util.tree_map(
+            lambda o, n: jnp.where(done, o, n), old, new)
+        return carry, None
+
+    carry0 = (X, U, ABs, cost0, zK, zd,
+              jnp.asarray(0, jnp.int32), jnp.asarray(False),
+              jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+    carry, _ = jax.lax.scan(iter_body, carry0, None, length=nb_iter)
+    X, U, ABs, cost, Ks, ds, it, done, alpha, _ = carry
+    fX = jax.vmap(lambda x: funcs.fx_jac(spec, x)[0])(X)
+    return ILQRResult(X=X, fX=fX, U=U, Ks=Ks, ds=alpha * ds, cost=cost,
+                      iterations=it, alpha=alpha)
+
+
 _progress_cb = None
 
 
@@ -272,6 +456,6 @@ def solve(
     try:
         return _solve_impl(spec, U0, int(nb_iter), bool(line_search),
                            bool(early_stop), callback is not None,
-                           backward == "pscan")
+                           backward == "pscan", static_kp_steps(spec))
     finally:
         _progress_cb = None

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ilqr_planner_tpu.ops import pscan as pscan_ops
-from ilqr_planner_tpu.ops.linalg import solve_ge
+from ilqr_planner_tpu.ops.linalg import solve_spd
 
 __all__ = ["LQT", "riccati", "riccati_parallel", "batch_solution"]
 
@@ -41,9 +41,9 @@ def riccati(A, B, Qs, Rt, mu):
             P, d = carry
             Qt, mu_i, mu_ip1 = inp
             BtPB = B.T @ P @ B + Rt
-            G = solve_ge(BtPB, B.T @ P)  # (B'PB+R)^-1 B'P
+            G = solve_spd(BtPB, B.T @ P)  # (B'PB+R)^-1 B'P
             Pn = Qt - A.T @ (P @ B @ G - P) @ A
-            dn = (A.T - A.T @ P @ B @ solve_ge(BtPB, B.T)) @ (
+            dn = (A.T - A.T @ P @ B @ solve_spd(BtPB, B.T)) @ (
                 P @ (A @ mu_i - mu_ip1) + d
             )
             return (Pn, dn), (Pn, dn)
@@ -89,7 +89,7 @@ def riccati_parallel(A, B, Qs, Rt, mu):
 
         def dstep(P1, mu_i, mu_ip1):
             BtPB = B.T @ P1 @ B + Rt
-            E = A.T - A.T @ P1 @ B @ solve_ge(BtPB, B.T)
+            E = A.T - A.T @ P1 @ B @ solve_spd(BtPB, B.T)
             return E, (E @ (P1 @ (A @ mu_i - mu_ip1)))
 
         Es, vs = jax.vmap(dstep)(Ps[1:], mu_t[:-1], mu_t[1:])
@@ -181,8 +181,8 @@ class LQT:
         dt = self._ds[t]
         mu_t = self.mu[t * nx : (t + 1) * nx]
         BtPB = self.B.T @ Pt @ self.B + self.Rt
-        Kt = solve_ge(BtPB, self.B.T @ Pt @ self.A)
-        ft = -solve_ge(BtPB, self.B.T @ (Pt @ (self.A @ mu_t - mu_t) + dt))
+        Kt = solve_spd(BtPB, self.B.T @ Pt @ self.A)
+        ft = -solve_spd(BtPB, self.B.T @ (Pt @ (self.A @ mu_t - mu_t) + dt))
         return Kt @ (mu_t - jnp.asarray(curr_state)) + ft
 
     # -- batch path --------------------------------------------------------
