@@ -21,7 +21,7 @@ REFERENCE_SOLVES_PER_S = 1.0 / 0.0192  # 19.2 ms/solve, 1 CPU core
 # Throughput is non-monotone in batch size (per-lane cost jumps once the
 # compiled program crosses tiling/memory thresholds), so measure a few
 # candidate batch sizes and report the best sustained rate.
-BATCH_CANDIDATES = (768, 1152, 1536, 2304)
+BATCH_CANDIDATES = (2304, 4608, 9216)
 NB_ITER = 10
 REPEATS = 5
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ilqr_planner_tpu.ops import pscan as pscan_ops
-from ilqr_planner_tpu.ops.linalg import inv_spd
+from ilqr_planner_tpu.ops.linalg import inv_spd, solve_spd
 from ilqr_planner_tpu.systems import funcs
 from ilqr_planner_tpu.systems.spec import Spec
 
@@ -157,9 +157,13 @@ def _backward_core(spec: Spec, As, Bs, l_x, l_u, l_xx, lN_x, lN_xx,
         Qxu = Qux.T
         Qu = lu + B.T @ p
         Qx = lx + A.T @ p
-        Minv = -inv_spd(Quu + eye_reg)
-        K = Minv @ Qux
-        d = Minv @ Qu
+        # One elimination for both gains: [K|d] = -(Quu+reg)^{-1} [Qux|Qu]
+        # (ILQRRecursive.cpp:89-91 forms the explicit inverse; solving the
+        # stacked system directly is the same quantity with one fewer
+        # 7x7-matmul chain in the scan's critical path).
+        Kd = -solve_spd(Quu + eye_reg,
+                        jnp.concatenate([Qux, Qu[:, None]], axis=-1))
+        K, d = Kd[:, :-1], Kd[:, -1]
         P1 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qxu @ K
         p1 = Qx + K.T @ (Quu @ d) + K.T @ Qu + Qxu @ d
         return (P1, p1), (K, d)
