@@ -143,6 +143,14 @@ def _backward_core(spec: Spec, As, Bs, l_x, l_u, l_xx, lN_x, lN_xx,
 
         return jax.vmap(gains)(As_full, Bs_full, l_u, Ps[1:], ps[1:])
 
+    # First-order non-time kinds have A = I, B = dt I (PosOrnPlannerSys.cpp:
+    # 119-123) — the A/B matmuls of the generic recursion collapse to scalar
+    # scalings, halving the per-step work of the sequential sweep.
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    diag_lti = (const_ab is not None and base.nb_deriv == 1
+                and not base.time_optimal)
+    dt_s = base.dt.astype(dtype) if diag_lti else None
+
     def bstep(carry, inp):
         P, p = carry
         if const_ab is not None:
@@ -150,13 +158,21 @@ def _backward_core(spec: Spec, As, Bs, l_x, l_u, l_xx, lN_x, lN_xx,
             lx, lu, lxx = inp
         else:
             A, B, lx, lu, lxx = inp
-        PA = P @ A
-        Qux = B.T @ PA
-        Quu = R + B.T @ P @ B
-        Qxx = lxx + A.T @ PA
-        Qxu = Qux.T
-        Qu = lu + B.T @ p
-        Qx = lx + A.T @ p
+        if diag_lti:
+            Qux = dt_s * P
+            Quu = R + dt_s * dt_s * P
+            Qxx = lxx + P
+            Qxu = Qux.T
+            Qu = lu + dt_s * p
+            Qx = lx + p
+        else:
+            PA = P @ A
+            Qux = B.T @ PA
+            Quu = R + B.T @ P @ B
+            Qxx = lxx + A.T @ PA
+            Qxu = Qux.T
+            Qu = lu + B.T @ p
+            Qx = lx + A.T @ p
         # One elimination for both gains: [K|d] = -(Quu+reg)^{-1} [Qux|Qu]
         # (ILQRRecursive.cpp:89-91 forms the explicit inverse; solving the
         # stacked system directly is the same quantity with one fewer

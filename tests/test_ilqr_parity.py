@@ -90,6 +90,25 @@ def test_no_line_search_single_trial(posorn_spec):
     assert all("alpha= 1" in m for m in cb.messages)
 
 
+def test_sparse_path_matches_whileloop_path(posorn_spec):
+    """The restructured solve (masked iteration scan + fused multi-alpha
+    line-search rollout, used when no callback is attached) must match the
+    reference-shaped while_loop solve — including on iterations that
+    backtrack deep into the alpha schedule (this workload floors out at
+    alpha = 2^-10 on its final iteration)."""
+    U0 = np.zeros((HORIZON - 1, 7), np.float32)
+    kp = ilqr.static_kp_steps(posorn_spec)
+    sparse = ilqr._solve_impl(posorn_spec, U0, 10, True, True, False, False, kp)
+    dense = ilqr._solve_impl(posorn_spec, U0, 10, True, True, False, False, None)
+    assert int(sparse.iterations) == int(dense.iterations)
+    assert float(sparse.alpha) == pytest.approx(float(dense.alpha), rel=1e-6)
+    assert float(sparse.cost) == pytest.approx(float(dense.cost), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(sparse.U), np.asarray(dense.U),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sparse.X), np.asarray(dense.X),
+                               atol=5e-5)
+
+
 def test_shape_validation(posorn_spec):
     with pytest.raises(ValueError):
         ilqr.solve(posorn_spec, np.zeros((5, 7)), 1)
