@@ -126,12 +126,6 @@ class AngularTimeKeypoint(_kp.AngularTimeKeypoint, _KpAccessors):
             super().__init__(*args, **kwargs)
 
 
-def _limits_from_args(args):
-    """Disambiguate the reference's constructor overloads: trailing args are
-    (horizon, nb_deriv[, dt]) preceded by 0, 2, or 4 limit vectors."""
-    return args
-
-
 class System:
     """Base wrapper: couples (robot, Spec) and exposes the reference System
     API (System.h:28-194, bindings.cpp:413-692)."""

@@ -4,8 +4,9 @@ The solver scans invert tiny (<=16 dim) matrices every timestep
 (ILQRRecursive.cpp:89-91, lqt.cpp:41-44). `jnp.linalg.inv/solve` lower to
 LAPACK custom calls on the CPU backend, and this environment's jaxlib build
 corrupts the heap on some float64 getrf/getri programs compiled inside
-`lax.scan` (reproducible upstream bug, values/shape dependent — see
-tests/test_linalg_ge.py). These Gauss-Jordan routines compile to plain XLA
+`lax.scan` (reproducible upstream bug, values/shape dependent; see also the
+optimization-level workaround in tests/conftest.py). These Gauss-Jordan
+routines compile to plain XLA
 ops on every backend: deterministic, batch-broadcastable, and for matrices
 this small just as fast as the generic lowering.
 """

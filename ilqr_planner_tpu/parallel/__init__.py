@@ -5,6 +5,7 @@ from ilqr_planner_tpu.parallel.mesh import (
     batch_specs,
     make_mesh,
     solve_batch,
+    solve_batch_al,
     solve_batch_chunked,
     solve_batch_sharded,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "distributed",
     "make_mesh",
     "solve_batch",
+    "solve_batch_al",
     "solve_batch_chunked",
     "solve_batch_sharded",
 ]

@@ -17,10 +17,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ilqr_planner_tpu.solvers import ilqr
+from ilqr_planner_tpu.solvers import al_ilqr, ilqr
 from ilqr_planner_tpu.systems.spec import Spec
 
-__all__ = ["make_mesh", "solve_batch", "solve_batch_sharded", "batch_specs"]
+__all__ = ["make_mesh", "solve_batch", "solve_batch_al",
+           "solve_batch_sharded", "batch_specs"]
 
 
 def make_mesh(shape=None, axis_names=("dp",), devices=None) -> Mesh:
@@ -58,6 +59,39 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
         in_axes=(spec_axes, 0),
     )
     return f(spec_b, U0s)
+
+
+def solve_batch_al(spec: Spec, constraints, lam0, overrides,
+                   U0s, nb_iter: int, lag_update_step: int, penalty: float,
+                   scaling_factor: float, line_search: bool = True,
+                   early_stop: bool = True):
+    """vmap the AL-iLQR fast path over a scenario batch on one device.
+
+    constraints: a single Constraints pytree shared by all scenarios, or one
+    with a leading scenario axis on A/b (then it maps over axis 0). lam0 is
+    broadcast to [H-1, nc] per scenario. Reference workload: the H=400
+    constrained Panda solve (POS_ORN_SYS_AL_ILQR.ipynb cell 14, 727 ms/solve
+    single-core).
+    """
+    spec_b, spec_axes = batch_specs(spec, overrides)
+    kp_steps = ilqr.static_kp_steps(spec_b)
+    B = U0s.shape[0]
+    lam0 = jnp.asarray(lam0)
+    if lam0.ndim == 1:
+        lam0 = jnp.broadcast_to(lam0, (spec.horizon - 1,) + lam0.shape)
+    cons_batched = constraints.A.ndim == 4
+    cons_axes = al_ilqr.Constraints(A=0, b=0) if cons_batched else None
+    lam_batched = lam0.ndim == 3
+    if not lam_batched:
+        lam0 = jnp.broadcast_to(lam0, (B,) + lam0.shape)
+
+    f = jax.vmap(
+        lambda s, c, lam, U0: al_ilqr._solve_impl(
+            s, c, lam, U0, nb_iter, lag_update_step, penalty, scaling_factor,
+            line_search, early_stop, False, kp_steps),
+        in_axes=(spec_axes, cons_axes, 0, 0),
+    )
+    return f(spec_b, constraints, lam0, jnp.asarray(U0s))
 
 
 def solve_batch_chunked(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,

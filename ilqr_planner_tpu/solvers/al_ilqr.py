@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ilqr_planner_tpu.ops.linalg import inv_spd
+from ilqr_planner_tpu.ops.linalg import inv_spd, solve_spd
+from ilqr_planner_tpu.solvers.ilqr import (_grads_sparse, _light_rollout,
+                                           static_kp_steps)
 from ilqr_planner_tpu.systems import funcs
 from ilqr_planner_tpu.systems.spec import Spec
 
@@ -154,11 +156,22 @@ def _backward(spec: Spec, cons: Constraints, lam, X, fX, U, As, Bs, Js, Is, Cs):
 
 
 @partial(jax.jit, static_argnames=("nb_iter", "lag_update_step", "line_search",
-                                   "early_stop", "with_callback"))
+                                   "early_stop", "with_callback", "kp_steps"))
 def _solve_impl(spec: Spec, cons: Constraints, lam0, U0, nb_iter: int,
                 lag_update_step: int, penalty0, scaling_factor,
-                line_search: bool, early_stop: bool, with_callback: bool):
+                line_search: bool, early_stop: bool, with_callback: bool,
+                kp_steps=None):
     with jax.default_matmul_precision("float32"):
+        if not with_callback and kp_steps is not None:
+            # Fast path (same restructuring as ilqr._solve_body_sparse):
+            # FK-sparse rollouts/gradients, the line search as a masked scan
+            # over the alpha grid, iterations as a masked scan with frozen
+            # converged lanes. The while_loop path below stays for callback
+            # runs (per-executed-iteration host notifications).
+            return _solve_body_sparse(spec, cons, lam0, U0, nb_iter,
+                                      lag_update_step, penalty0,
+                                      scaling_factor, line_search, early_stop,
+                                      kp_steps)
         return _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step,
                            penalty0, scaling_factor, line_search, early_stop,
                            with_callback)
@@ -222,6 +235,158 @@ def _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step, penalty0,
     return ALILQRResult(X=X, fX=fX, U=U, multipliers=lam, cost=cost, iterations=it)
 
 
+def _active_sets(cons: Constraints, lam, penalty, X, U):
+    """Penalty-scaled active sets + violations over the whole horizon, from
+    the accepted trajectory — the values the reference captures inside its
+    forward rollout (AL-ILQR.cpp:189-191). Constraints touch only (x, u), so
+    this is FK-free vector math, vmapped over the H-1 steps."""
+
+    def f(lam_k, x, u, A_k, b_k):
+        g = A_k @ jnp.concatenate([x, u]) - b_k
+        inactive = (g < 0) & (lam_k == 0)
+        return penalty * jnp.where(inactive, 0.0, 1.0), g
+
+    return jax.vmap(f)(lam, X[:-1], U, cons.A, cons.b)
+
+
+def _backward_core_al(spec: Spec, As, Bs, l_x, l_u, l_xx, lN_x, lN_xx,
+                      ckx, cku, Is, Cs, lam):
+    """AL backward pass from precomputed quadratized stage terms: the iLQR
+    recursion plus the constraint terms of AL-ILQR.cpp:129-134. Is carries
+    the penalty-scaled active-set diagonals captured after the previous
+    accepted rollout (the reference's by-design lag of the penalty value
+    behind dual updates)."""
+    nu = spec.nu
+    dtype = l_x.dtype
+    R = jnp.diag(spec.Rt.astype(dtype))
+    eye_reg = 1e-6 * jnp.eye(nu, dtype=dtype)
+    const_ab = funcs.constant_AB(spec, dtype) if isinstance(As, tuple) else None
+
+    # A = I, B = dt I collapse for first-order non-time kinds (same
+    # simplification as ilqr._backward_core's diag_lti branch).
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    diag_lti = (const_ab is not None and base.nb_deriv == 1
+                and not base.time_optimal)
+    dt_s = base.dt.astype(dtype) if diag_lti else None
+
+    def bstep(carry, inp):
+        P, p = carry
+        if const_ab is not None:
+            A, B = const_ab
+            lx, lu, lxx, cx, cu, Ik, g, lam_k = inp
+        else:
+            A, B, lx, lu, lxx, cx, cu, Ik, g, lam_k = inp
+        Icx = Ik[:, None] * cx
+        Icu = Ik[:, None] * cu
+        lig = lam_k + Ik * g
+        if diag_lti:
+            Qux = dt_s * P + cu.T @ Icx
+            Quu = R + dt_s * dt_s * P + cu.T @ Icu
+            Qxx = lxx + P + cx.T @ Icx
+            Qu = lu + dt_s * p + cu.T @ lig
+            Qx = lx + p + cx.T @ lig
+        else:
+            PA = P @ A
+            Qux = B.T @ PA + cu.T @ Icx
+            Quu = R + B.T @ P @ B + cu.T @ Icu
+            Qxx = lxx + A.T @ PA + cx.T @ Icx
+            Qu = lu + B.T @ p + cu.T @ lig
+            Qx = lx + A.T @ p + cx.T @ lig
+        Qxu = Qux.T
+        Kd = -solve_spd(Quu + eye_reg,
+                        jnp.concatenate([Qux, Qu[:, None]], axis=-1))
+        K, d = Kd[:, :-1], Kd[:, -1]
+        P1 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qxu @ K
+        p1 = Qx + K.T @ (Quu @ d) + K.T @ Qu + Qxu @ d
+        return (P1, p1), (K, d)
+
+    common = (l_x, l_u, l_xx, ckx, cku, Is, Cs, lam)
+    scan_in = common if const_ab is not None else (As, Bs) + common
+    (_, _), (Ks, ds) = jax.lax.scan(bstep, (lN_xx, lN_x), scan_in,
+                                    reverse=True)
+    return Ks, ds
+
+
+def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
+                       penalty0, scaling_factor, line_search, early_stop,
+                       kp_steps):
+    """Control-flow- and FK-restructured AL-iLQR with identical numerics.
+
+    The dynamics and constraints never touch FK, so line-search trials run
+    the FK-free _light_rollout; keypoint residual costs enter only at the
+    statically known keypoint steps; active sets are recomputed from the
+    accepted trajectory (identical values to the reference's in-rollout
+    capture). Line-search trials alpha = 1, 1/2, ..., 2^-10 run as a masked
+    scan adopting the first acceptable trial (last trial on floor-out),
+    iterations as a masked scan with early-stopped lanes frozen.
+    """
+    dtype = spec.x0.dtype
+    H, nu, nx = spec.horizon, spec.nu, spec.nx
+    penalty0 = jnp.asarray(penalty0, dtype)
+    scaling = jnp.asarray(scaling_factor, dtype)
+    ckx = cons.A[:, :, :nx]
+    cku = cons.A[:, :, nx:]
+
+    zK = jnp.zeros((H - 1, nu, nx), dtype=dtype)
+    zd = jnp.zeros((H - 1, nu), dtype=dtype)
+    X, U, ABs, cost0, _ = _light_rollout(
+        spec, jnp.asarray(0.0, dtype), zK, zd, jnp.zeros((H, nx), dtype), U0,
+        kp_steps)
+    Is0, Cs0 = _active_sets(cons, lam0, penalty0, X, U)
+    if line_search:
+        alphas = (2.0 ** -jnp.arange(0, 11)).astype(dtype)
+    else:
+        alphas = jnp.ones((1,), dtype)
+
+    def iter_body(carry, _):
+        X, U, ABs, Is, Cs, cost0, lam, penalty, it, done = carry
+        As, Bs = ABs if isinstance(ABs, tuple) and len(ABs) == 2 else ((), ())
+        l_terms = _grads_sparse(spec, X, U, kp_steps)
+        Ks, ds = _backward_core_al(spec, As, Bs, *l_terms, ckx, cku, Is, Cs,
+                                   lam)
+
+        def trial(tc, a):
+            accepted, best = tc
+            out = _light_rollout(spec, a, Ks, ds, X, U, kp_steps)
+            cost = out[3]
+            ok = (cost < cost0) & ~jnp.isnan(cost)
+            take = ~accepted
+            best = jax.tree_util.tree_map(
+                lambda b, o: jnp.where(take, o, b), best, out + (a,))
+            return (accepted | ok, best), None
+
+        dummy = (X, U, ABs, cost0, jnp.asarray(0.0, dtype),
+                 jnp.asarray(1.0, dtype))
+        (_, picked), _ = jax.lax.scan(
+            trial, (jnp.asarray(False), dummy), alphas)
+        Xn, Un, ABsn, costn, du_acc, alpha = picked
+
+        # Active sets from the accepted trajectory with the pre-update
+        # lam/penalty — the values the accepted trial's rollout captured.
+        Isn, Csn = _active_sets(cons, lam, penalty, Xn, Un)
+
+        # Dual/penalty update every lag_update_step iterations (cpp:202-208).
+        do_update = ((it + 1) % lag_update_step) == 0
+        new_penalty = jnp.where(do_update, penalty * scaling, penalty)
+        new_lam = jnp.where(do_update,
+                            jnp.maximum(lam + new_penalty * Csn, 0.0), lam)
+
+        new = (Xn, Un, ABsn, Isn, Csn, costn, new_lam, new_penalty, it + 1,
+               done | (early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)))
+        old = (X, U, ABs, Is, Cs, cost0, lam, penalty, it, done)
+        carry = jax.tree_util.tree_map(
+            lambda o, n: jnp.where(done, o, n), old, new)
+        return carry, None
+
+    carry0 = (X, U, ABs, Is0, Cs0, cost0, lam0, penalty0,
+              jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    carry, _ = jax.lax.scan(iter_body, carry0, None, length=nb_iter)
+    X, U, _, _, _, cost, lam, _, it, _ = carry
+    fX = jax.vmap(lambda x: funcs.fx_jac(spec, x)[0])(X)
+    return ALILQRResult(X=X, fX=fX, U=U, multipliers=lam, cost=cost,
+                        iterations=it)
+
+
 _progress_cb = None
 
 
@@ -260,6 +425,7 @@ def solve(
         return _solve_impl(spec, constraints, lam0, U0, int(nb_iter),
                            int(lag_update_step), float(penalty),
                            float(scaling_factor), bool(line_search),
-                           bool(early_stop), callback is not None)
+                           bool(early_stop), callback is not None,
+                           static_kp_steps(spec))
     finally:
         _progress_cb = None

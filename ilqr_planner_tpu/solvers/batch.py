@@ -164,11 +164,232 @@ def _diff_batch(spec: Spec, fX_kp, kp_idx):
     return jnp.concatenate(es)
 
 
+# ---------------------------------------------------------------------------
+# Closed-form LTI structure: the reference's O(H^2) transfer-matrix loop and
+# per-step FK rollout collapse to analytic formulas for the integrator
+# dynamics (A, B constant, BatchILQR.cpp:89-94 for LTI A, B recovers
+# A^{t-1-j} B). This kills every lax.scan in the batch solver: states at
+# keypoint rows are weighted control sums, Su blocks are index formulas.
+# ---------------------------------------------------------------------------
+
+
+def fast_supported(spec: Spec) -> bool:
+    """True when the closed-form (scan-free, Woodbury) batch path applies:
+    constant-A/B integrator dynamics and a strictly positive control
+    penalty (the Woodbury identity divides by R's diagonal)."""
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    import numpy as np
+
+    try:
+        rt = np.asarray(spec.Rt)
+    except Exception:  # traced leaves: caller must decide statically
+        return False
+    return (not base.time_optimal) and bool(np.all(rt > 0))
+
+
+def _lti_su_rows(spec: Spec, kp_idx, dtype, js=None):
+    """Closed-form Su over keypoint rows [n_kp * nx, len(js) * nu].
+
+    Reproduces _build_su exactly for constant (A, B): the zero-seeded
+    recursion leaves column 0 empty and the pre-update capture at keypoint k
+    stores A^{k-1-j} B in column j for 1 <= j <= k-1 (see module docstring).
+    For the single integrator A^p = I; for the double integrator
+    A^p = [[I, p dt I], [0, I]], so A^{k-1-j} B = [[(1/2 + (k-1-j)) dt^2 I],
+    [dt I]].
+
+    js: which (global) control timesteps to emit columns for — default all
+    H-1; a sequence-parallel shard passes its local slice.
+    """
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    H, nx, nu, dof = spec.horizon, spec.nx, spec.nu, base.dof
+    dt = base.dt.astype(dtype)
+    ks = jnp.asarray(list(kp_idx))[:, None]          # [n_kp, 1]
+    if js is None:
+        js = jnp.arange(H - 1)
+    js = js[None, :]                                 # [1, n_js]
+    live = (js >= 1) & (js <= ks - 1)                # [n_kp, n_js]
+    if base.nb_deriv == 1:
+        # block (k, j) = dt * I_nu
+        w = jnp.where(live, dt, 0.0).astype(dtype)   # [n_kp, n_js]
+        blocks = w[:, :, None, None] * jnp.eye(nu, dtype=dtype)
+    else:
+        p = (ks - 1 - js).astype(dtype)              # exponent
+        top = jnp.where(live, (0.5 + p) * dt * dt, 0.0)
+        bot = jnp.where(live, dt, 0.0)
+        eye = jnp.eye(dof, dtype=dtype)
+        blocks = jnp.concatenate([
+            top[:, :, None, None] * eye, bot[:, :, None, None] * eye,
+        ], axis=2)                                   # [n_kp, n_js, nx, nu]
+    # [n_kp, n_js, nx, nu] -> [n_kp * nx, n_js * nu]
+    n_js = blocks.shape[1]
+    return blocks.transpose(0, 2, 1, 3).reshape(len(kp_idx) * nx, n_js * nu)
+
+
+def _lti_states_partial(spec: Spec, U, ks, js=None):
+    """Control contribution to the states x_k at rows `ks` from the
+    closed-form integrator solution — no scan: x_k is x0-terms plus a
+    weighted sum of controls (weights below). U holds the controls at the
+    (global) timesteps `js` (default: all H-1); a sequence-parallel shard
+    passes its local slice and psums partials across shards.
+
+    Single integrator: q_k = q0 + dt sum_{j<k} u_j.
+    Double integrator: dq_k = dq0 + dt sum_{j<k} u_j,
+                       q_k = q0 + k dt dq0 + sum_{j<k} (1/2 + k-1-j) dt^2 u_j.
+    """
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    dtype = U.dtype
+    dt = base.dt.astype(dtype)
+    ks_a = jnp.asarray(list(ks))[:, None]
+    if js is None:
+        js = jnp.arange(spec.horizon - 1)
+    js = js[None, :]
+    live = (js < ks_a).astype(dtype)                 # [n, n_js]
+    if base.nb_deriv == 1:
+        return dt * (live @ U)
+    dq = dt * (live @ U)
+    coef = live * (0.5 + (ks_a - 1 - js).astype(dtype)) * dt * dt
+    return jnp.concatenate([coef @ U, dq], axis=-1)
+
+
+def _lti_states_base(spec: Spec, ks, dtype):
+    """The control-independent part of the states at rows `ks`."""
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    dt = base.dt.astype(dtype)
+    dof = base.dof
+    x0 = spec.x0
+    n = len(tuple(ks))
+    ks_a = jnp.asarray(list(ks))[:, None].astype(dtype)
+    if base.nb_deriv == 1:
+        return jnp.broadcast_to(x0[None, :], (n, spec.nx))
+    q0, dq0 = x0[:dof], x0[dof:]
+    q = q0[None, :] + ks_a * dt * dq0[None, :]
+    dq = jnp.broadcast_to(dq0[None, :], (n, dof))
+    return jnp.concatenate([q, dq], axis=-1)
+
+
+def _lti_states_at(spec: Spec, U, ks):
+    """States x_k at the (static) rows `ks`: base + full control sum."""
+    return _lti_states_base(spec, ks, U.dtype) + _lti_states_partial(spec, U, ks)
+
+
+def _kp_terms(spec: Spec, U, kp_idx):
+    """Everything the GN step and the cost need, from FK at keypoint rows
+    only: residual e, lagged limit rows (ql, Lblk), and the per-row
+    (fx, J). Limit slot k holds inspectJointLimit(x_{k-1}) (System.cpp:
+    201-208); keypoints at k = 0 get zero rows like fpBatch's placeholder."""
+    X_kp = _lti_states_at(spec, U, kp_idx)
+    prev = tuple(max(k - 1, 0) for k in kp_idx)
+    X_prev = _lti_states_at(spec, U, prev)
+    return _kp_terms_from_states(spec, X_kp, X_prev, kp_idx)
+
+
+def _kp_terms_from_states(spec: Spec, X_kp, X_prev, kp_idx):
+    """FK/residual/limit rows given the keypoint-row states (see _kp_terms;
+    split out so the sequence-parallel path can psum-assemble the states)."""
+    dtype = X_kp.dtype
+
+    def limits(x):
+        if spec.kind == "sequential" or not spec.limits_set:
+            z = jnp.zeros(spec.nx, dtype)
+            return z, z
+        return funcs.limit_terms(spec, x)
+
+    es, qls, Ls, Js = [], [], [], []
+    for i, k in enumerate(kp_idx):
+        fx, J = funcs.fx_jac(spec, X_kp[i])
+        es.append(funcs.residual(spec, fx, k))
+        Js.append(J)
+        Ld, ql = limits(X_prev[i])
+        zero = k == 0
+        qls.append(jnp.where(zero, 0.0, ql))
+        Ls.append(jnp.where(zero, 0.0, Ld))
+    return (jnp.concatenate(es), jnp.concatenate(qls), jnp.concatenate(Ls),
+            Js, X_kp)
+
+
+def _woodbury_du(Su, M, Rd, rhs):
+    """du = (diag(Rd) + Su^T M Su)^{-1} rhs via the push-through identity
+    (D + U^T M U)^{-1} = D^{-1} - D^{-1} U^T M (I + U D^{-1} U^T M)^{-1}
+    U D^{-1} — an m x m solve (m = n_kp * nx) instead of the reference's
+    dense [(H-1) nu]^2 system (BatchILQR.cpp:130-132); M itself may be
+    singular (nQ < nx), which rules out the textbook Woodbury form."""
+    m = M.shape[0]
+    Dinv_rhs = rhs / Rd
+    SuD = Su / Rd[None, :]
+    P = SuD @ Su.T                                   # [m, m]
+    g = SuD @ rhs                                    # [m]
+    inner = jnp.eye(m, dtype=M.dtype) + P @ M
+    y = M @ jnp.linalg.solve(inner, g)
+    return Dinv_rhs - (Su.T @ y) / Rd
+
+
+def _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, use_psi):
+    """Scan-free batch solve with identical numerics to _solve_body: states
+    and Su in closed form, FK at keypoint rows only, the Gauss-Newton step
+    via the m x m Woodbury solve (plain) or the projected K nu system (CP),
+    the line search as a masked scan over alpha = 1, 1/2, ..., 2^-10 (the
+    first trial with cost < cost0 wins; the 2^-10 trial is the reference's
+    unconditional alpha < 1e-3 floor acceptance, BatchILQR.cpp:151-154),
+    and iterations as a masked scan with early-stopped lanes frozen."""
+    H, nu = spec.horizon, spec.nu
+    dtype = u0.dtype
+    Rdiag = jnp.tile(spec.Rt.astype(dtype), H - 1)
+    Su = _lti_su_rows(spec, kp_idx, dtype)
+    alphas = (2.0 ** -jnp.arange(0, 11)).astype(dtype)
+
+    def eval_cost(u):
+        e, ql, Lblk, _, _ = _kp_terms(spec, u.reshape(H - 1, nu), kp_idx)
+        return e @ (Q @ e) + jnp.sum(Rdiag * u * u) + jnp.sum(ql * Lblk * ql)
+
+    def iter_body(carry, _):
+        u, it, done, cost_l, alpha_l = carry
+        e, ql, Lblk, Js, _ = _kp_terms(spec, u.reshape(H - 1, nu), kp_idx)
+        Jblk = _block_diag(Js)
+        M = Jblk.T @ Q @ Jblk + jnp.diag(Lblk)
+        rhs = Su.T @ (Jblk.T @ (Q @ e) + Lblk * ql) - Rdiag * u
+        if use_psi:
+            lhs = psi.T @ (Su.T @ (M @ (Su @ psi))) \
+                + psi.T @ (Rdiag[:, None] * psi)
+            du = psi @ jnp.linalg.solve(lhs, psi.T @ rhs)
+        else:
+            du = _woodbury_du(Su, M, Rdiag, rhs)
+        cost0 = e @ (Q @ e) + jnp.sum(Rdiag * u * u) + jnp.sum(ql * Lblk * ql)
+
+        def trial(tc, a):
+            accepted, best_u, best_a = tc
+            utmp = u + a * du
+            cost = eval_cost(utmp)
+            ok = (cost < cost0) | (a < 1e-3)
+            take = ~accepted & ok
+            best_u = jnp.where(take, utmp, best_u)
+            best_a = jnp.where(take, a, best_a)
+            return (accepted | ok, best_u, best_a), None
+
+        (_, u_new, alpha), _ = jax.lax.scan(
+            trial, (jnp.asarray(False), u, jnp.asarray(1.0, dtype)), alphas)
+
+        new_done = done | (early_stop
+                           & (alpha * jnp.sqrt(jnp.sum(du * du)) < 1e-3))
+        new = (u_new, it + 1, new_done, cost0, alpha)
+        old = (u, it, done, cost_l, alpha_l)
+        return jax.tree_util.tree_map(
+            lambda o, n: jnp.where(done, o, n), old, new), None
+
+    carry0 = (u0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+              jnp.asarray(jnp.inf, dtype), jnp.asarray(1.0, dtype))
+    (u, it, done, cost0, alpha), _ = jax.lax.scan(
+        iter_body, carry0, None, length=nb_iter)
+    return BatchResult(u=u, cost=cost0, iterations=it)
+
+
 @partial(jax.jit, static_argnames=("kp_idx", "nb_iter", "early_stop",
-                                   "with_callback", "use_psi"))
+                                   "with_callback", "use_psi", "fast"))
 def _solve_impl(spec: Spec, Q, psi, u0, kp_idx, nb_iter, early_stop,
-                with_callback, use_psi):
+                with_callback, use_psi, fast=False):
     with jax.default_matmul_precision("float32"):
+        if fast and not with_callback:
+            return _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter,
+                                    early_stop, use_psi)
         return _solve_body(spec, Q, psi, u0, kp_idx, nb_iter, early_stop,
                            with_callback, use_psi)
 
@@ -279,7 +500,8 @@ def solve(spec: Spec, kp_idx: Sequence[int], nb_iter: int, u0,
     _progress_cb = callback
     try:
         return _solve_impl(spec, Q, dummy_psi, u0, kp_idx, int(nb_iter),
-                           bool(early_stop), callback is not None, False)
+                           bool(early_stop), callback is not None, False,
+                           fast_supported(spec))
     finally:
         _progress_cb = None
 
@@ -296,6 +518,7 @@ def solve_cp(spec: Spec, psi, kp_idx: Sequence[int], nb_iter: int, u0,
     _progress_cb = callback
     try:
         return _solve_impl(spec, Q, psi, u0, kp_idx, int(nb_iter),
-                           bool(early_stop), callback is not None, True)
+                           bool(early_stop), callback is not None, True,
+                           fast_supported(spec))
     finally:
         _progress_cb = None

@@ -60,3 +60,58 @@ def test_sharded_batch_across_8_devices(spec):
     # sharded result matches the unsharded vmap result exactly per lane
     ref = solve_batch(spec, ov, U0s, 10)
     np.testing.assert_allclose(np.asarray(res.cost), np.asarray(ref.cost), rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# AL-iLQR: fast (FK-sparse masked-scan) path parity + batched fleet entry
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def al_setup(spec):
+    from ilqr_planner_tpu.solvers.al_ilqr import Constraints
+
+    A = np.zeros((14, 14))  # nc=14 rows over [x; u] of width 7+7
+    A[5, 5] = 1.0
+    b = np.zeros(14)
+    b[5] = 2.0
+    cons = Constraints.uniform(A, b, spec.horizon)
+    return cons, b
+
+
+def test_al_fast_path_matches_while_loop(spec, al_setup):
+    from ilqr_planner_tpu.solvers import al_ilqr
+
+    cons, b = al_setup
+    lam0 = np.broadcast_to(b, (spec.horizon - 1, 14))
+    U0 = np.zeros((99, 7))
+    kp_steps = ilqr.static_kp_steps(spec)
+    # while_loop (reference-shaped) path: kp_steps=None
+    ref = al_ilqr._solve_impl(spec, cons, lam0, U0, 20, 5, 0.25, 1.1,
+                              True, True, False, None)
+    fast = al_ilqr._solve_impl(spec, cons, lam0, U0, 20, 5, 0.25, 1.1,
+                               True, True, False, kp_steps)
+    np.testing.assert_allclose(np.asarray(fast.cost), np.asarray(ref.cost),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(fast.U), np.asarray(ref.U),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fast.multipliers),
+                               np.asarray(ref.multipliers), atol=1e-9)
+    assert int(fast.iterations) == int(ref.iterations)
+
+
+def test_al_batch_matches_single(spec, al_setup):
+    from ilqr_planner_tpu.parallel import solve_batch_al
+    from ilqr_planner_tpu.solvers import al_ilqr
+
+    cons, b = al_setup
+    B = 3
+    ov = _scenarios(spec, B, seed=3)
+    U0s = np.zeros((B, 99, 7))
+    res = solve_batch_al(spec, cons, b, ov, U0s, 15, 5, 0.25, 1.1)
+    assert res.cost.shape == (B,)
+    single = al_ilqr.solve(
+        spec.replace(q0=ov["q0"][1], x0=ov["x0"][1]), cons, b, U0s[1],
+        15, 5, 0.25, 1.1,
+    )
+    np.testing.assert_allclose(res.cost[1], single.cost, rtol=1e-9)
+    np.testing.assert_allclose(res.U[1], single.U, atol=1e-9)
