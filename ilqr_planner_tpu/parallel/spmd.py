@@ -6,11 +6,17 @@ SURVEY §2's parallelism checklist):
   dp  scenario data parallelism: each shard runs an independent sub-fleet of
       full iLQR solves (vmap inside shard_map); convergence metrics are
       reduced across shards with psum over ICI.
-  sp  sequence parallelism over the batch-iLQR control-time axis: the
-      Gauss-Newton normal matrix (Su^T G Su, [(H-1)nu]^2) is assembled from
-      column-sharded Su via all_gather + local matmul, each shard owning a
-      row block — the trajectory-optimization analogue of sequence-parallel
-      attention assembly.
+  sp  sequence parallelism over the batch-iLQR control-time axis
+      (solve_batch_sp): the (H-1)-step control vector, the closed-form
+      transfer-matrix columns, and the Gauss-Newton algebra are sharded over
+      `sp`; each iteration's keypoint-row states, Woodbury Gram matrix, and
+      line-search costs are assembled with psum over the axis. The sharded
+      solve returns the single-device batch.solve result exactly (reduction
+      order aside) while every shard holds only W/n_sp of the control-time
+      axis — the trajectory-optimization analogue of sequence-parallel
+      attention, for long-horizon problems (reference workloads up to H=600,
+      POS_ORN_MULTI_SYS.ipynb; BatchILQR.cpp:62-132 is the single-core
+      analogue).
 
 `fleet_step` composes both in one jitted SPMD program; `dryrun_multichip`
 in __graft_entry__.py compiles and runs it on an n-device mesh.
@@ -26,9 +32,128 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ilqr_planner_tpu.parallel.mesh import batch_specs
 from ilqr_planner_tpu.solvers import batch as batch_solver
 from ilqr_planner_tpu.solvers import ilqr
+from ilqr_planner_tpu.solvers.batch import BatchResult
 from ilqr_planner_tpu.systems.spec import Spec
 
-__all__ = ["fleet_step"]
+__all__ = ["fleet_step", "solve_batch_sp"]
+
+
+def _sp_solve_shard(spec: Spec, Q, U0_local, kp_idx, nb_iter, early_stop,
+                    sp_axis):
+    """Per-shard body of the sequence-parallel batch solve (runs inside
+    shard_map). U0_local: [(H-1)/n_sp, nu] — this shard's slice of the
+    control-time axis. Numerics identical to batch._solve_body_fast; every
+    cross-time reduction is a psum over `sp_axis`."""
+    H, nu = spec.horizon, spec.nu
+    dtype = U0_local.dtype
+    n_local = U0_local.shape[0]
+    i = jax.lax.axis_index(sp_axis)
+    js_local = i * n_local + jnp.arange(n_local)
+
+    Su = batch_solver._lti_su_rows(spec, kp_idx, dtype, js_local)
+    Rd = jnp.tile(spec.Rt.astype(dtype), n_local)
+    m = Su.shape[0]
+    prev = tuple(max(k - 1, 0) for k in kp_idx)
+    base_kp = batch_solver._lti_states_base(spec, kp_idx, dtype)
+    base_prev = batch_solver._lti_states_base(spec, prev, dtype)
+    alphas = (2.0 ** -jnp.arange(0, 11)).astype(dtype)
+
+    def kp_terms(U_local):
+        X_kp = base_kp + jax.lax.psum(
+            batch_solver._lti_states_partial(spec, U_local, kp_idx, js_local),
+            sp_axis)
+        X_prev = base_prev + jax.lax.psum(
+            batch_solver._lti_states_partial(spec, U_local, prev, js_local),
+            sp_axis)
+        return batch_solver._kp_terms_from_states(spec, X_kp, X_prev, kp_idx)
+
+    def eval_cost(u_local):
+        e, ql, Lblk, _, _ = kp_terms(u_local.reshape(n_local, nu))
+        ctrl = jax.lax.psum(jnp.sum(Rd * u_local * u_local), sp_axis)
+        return e @ (Q @ e) + ctrl + jnp.sum(ql * Lblk * ql)
+
+    def iter_body(carry, _):
+        u, it, done, cost_l, alpha_l = carry
+        e, ql, Lblk, Js, _ = kp_terms(u.reshape(n_local, nu))
+        Jblk = batch_solver._block_diag(Js)
+        M = Jblk.T @ Q @ Jblk + jnp.diag(Lblk)
+        rhs = Su.T @ (Jblk.T @ (Q @ e) + Lblk * ql) - Rd * u
+        # Woodbury with the Gram matrix psum-assembled over the time shards:
+        # P = Su D^{-1} Su^T and g = Su D^{-1} rhs sum over columns, which
+        # are sharded — each shard contributes its slice.
+        SuD = Su / Rd[None, :]
+        Pm = jax.lax.psum(SuD @ Su.T, sp_axis)
+        g = jax.lax.psum(SuD @ rhs, sp_axis)
+        inner = jnp.eye(m, dtype=dtype) + Pm @ M
+        y = M @ jnp.linalg.solve(inner, g)
+        du = rhs / Rd - (Su.T @ y) / Rd
+        ctrl = jax.lax.psum(jnp.sum(Rd * u * u), sp_axis)
+        cost0 = e @ (Q @ e) + ctrl + jnp.sum(ql * Lblk * ql)
+
+        def trial(tc, a):
+            accepted, best_u, best_a = tc
+            utmp = u + a * du
+            cost = eval_cost(utmp)
+            ok = (cost < cost0) | (a < 1e-3)
+            take = ~accepted & ok
+            best_u = jnp.where(take, utmp, best_u)
+            best_a = jnp.where(take, a, best_a)
+            return (accepted | ok, best_u, best_a), None
+
+        (_, u_new, alpha), _ = jax.lax.scan(
+            trial, (jnp.asarray(False), u, jnp.asarray(1.0, dtype)), alphas)
+
+        du_sq = jax.lax.psum(jnp.sum(du * du), sp_axis)
+        new_done = done | (early_stop & (alpha * jnp.sqrt(du_sq) < 1e-3))
+        new = (u_new, it + 1, new_done, cost0, alpha)
+        old = (u, it, done, cost_l, alpha_l)
+        return jax.tree_util.tree_map(
+            lambda o, n: jnp.where(done, o, n), old, new), None
+
+    carry0 = (U0_local.reshape(-1), jnp.asarray(0, jnp.int32),
+              jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
+              jnp.asarray(1.0, dtype))
+    (u, it, done, cost0, alpha), _ = jax.lax.scan(
+        iter_body, carry0, None, length=nb_iter)
+    return u.reshape(n_local, nu), cost0, it
+
+
+def solve_batch_sp(spec: Spec, kp_idx, nb_iter: int, u0, mesh: Mesh,
+                   sp_axis: str = "sp", early_stop: bool = True,
+                   Q=None) -> BatchResult:
+    """Sequence-parallel BatchILQR solve: shard the (H-1)-step control-time
+    axis over `sp_axis` and run the full Gauss-Newton iteration as one SPMD
+    program. Matches batch.solve's fast path result exactly; requires the
+    closed-form LTI structure (batch.fast_supported) and
+    (H-1) % mesh.shape[sp_axis] == 0."""
+    kp_idx = tuple(int(k) for k in kp_idx)
+    if Q is None:
+        Q = batch_solver.sparse_Q(spec, kp_idx)
+    if not batch_solver.fast_supported(spec):
+        raise ValueError("solve_batch_sp requires closed-form LTI dynamics "
+                         "(batch.fast_supported)")
+    H, nu = spec.horizon, spec.nu
+    n_sp = mesh.shape[sp_axis]
+    if (H - 1) % n_sp:
+        raise ValueError(f"H-1={H - 1} must divide the sp axis size {n_sp}")
+    U0 = jnp.asarray(u0).reshape(H - 1, nu)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(sp_axis)),
+        out_specs=(P(sp_axis), P(), P()),
+        check_vma=False,
+    )
+    def run(Q_rep, U0_local):
+        U_local, cost, it = _sp_solve_shard(
+            spec, Q_rep, U0_local, kp_idx, nb_iter, early_stop, sp_axis)
+        # cost/it are replicated over sp (identical on every shard).
+        return U_local, cost, it
+
+    with jax.default_matmul_precision("float32"):
+        U, cost, it = jax.jit(run)(jnp.asarray(Q), U0)
+    return BatchResult(u=U.reshape(-1), cost=cost, iterations=it)
 
 
 def fleet_step(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, kp_idx,
@@ -37,33 +162,35 @@ def fleet_step(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, kp_idx,
     """One full fleet step on a 2-D (dp, sp) mesh.
 
     - Scenarios shard over dp; each (dp, sp) shard pair solves its scenario
-      slice with the recursive solver (replicated over sp).
-    - The batch-GN normal-equation assembly for scenario 0 runs
-      sequence-parallel over sp: Su columns are sharded, each sp shard
-      computes its row block of Su^T (J^T Q J) Su after an all_gather of Su.
-    - Mean final cost is psum-reduced over dp — the convergence collective.
+      slice with the recursive solver (replicated over sp); mean final cost
+      is psum-reduced over dp — the convergence collective.
+    - The batch-iLQR solve of scenario 0 runs sequence-parallel over sp
+      end-to-end (solve_batch_sp's shard body): controls, transfer columns,
+      and the GN algebra live sharded; keypoint states/Gram/costs psum over
+      the axis.
 
-    Returns (costs [B], mean_cost scalar, gn_lhs [(H-1)nu, (H-1)nu]).
+    Returns (costs [B], mean_cost scalar, batch_result for scenario 0).
     """
     spec_b, spec_axes = batch_specs(spec, overrides)
     kp_idx = tuple(int(k) for k in kp_idx)
-    H, nu = spec.horizon, spec.nu
-    W = (H - 1) * nu
+    H = spec.horizon
     n_sp = mesh.shape[sp_axis]
-    assert W % n_sp == 0, f"(H-1)*nu={W} must divide sp axis size {n_sp}"
+    assert (H - 1) % n_sp == 0, \
+        f"H-1={H - 1} must divide sp axis size {n_sp}"
 
     kp_steps_static = ilqr.static_kp_steps(spec_b)
     spec_pspec = jax.tree_util.tree_map(lambda _: P(), spec)
     spec_pspec = spec_pspec.replace(**{k: P(dp_axis) for k in overrides})
+    Q = batch_solver.sparse_Q(spec, kp_idx)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(spec_pspec, P(dp_axis)),
-        out_specs=(P(dp_axis), P(), P(sp_axis)),
+        in_specs=(spec_pspec, P(dp_axis), P()),
+        out_specs=(P(dp_axis), P(), P(sp_axis), P(), P()),
         check_vma=False,
     )
-    def step(s_local, U0_local):
+    def step(s_local, U0_local, Q_rep):
         # --- dp: local sub-fleet of full solves -------------------------
         solve = jax.vmap(
             lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, True, True, False,
@@ -74,24 +201,22 @@ def fleet_step(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, kp_idx,
         local_mean = jnp.mean(res.cost)
         mean_cost = jax.lax.pmean(local_mean, dp_axis)
 
-        # --- sp: sequence-parallel GN normal-matrix assembly ------------
+        # --- sp: sequence-parallel batch solve of this dp shard's
+        # scenario 0, end-to-end (states/Gram/cost psum over sp) ---------
         first = s_local.replace(
             **{k: getattr(s_local, k)[0] for k in overrides}
         )
-        U = U0_local[0]
-        X, fX, As, Bs, Js, Ldiag, qL = batch_solver._open_loop_rollout(first, U)
-        Su = batch_solver._build_su(first, As, Bs, kp_idx)  # [n_kp*nx, W]
-        Jblk = batch_solver._block_diag([Js[k] for k in kp_idx])
-        Q = batch_solver.sparse_Q(first, kp_idx)
-        G = Jblk.T @ Q @ Jblk  # [n_kp*nx, n_kp*nx]
-        # shard Su columns over sp: my row block of Su^T G Su
+        n_local = (H - 1) // n_sp
         i = jax.lax.axis_index(sp_axis)
-        cols = W // n_sp
-        Su_local = jax.lax.dynamic_slice(Su, (0, i * cols), (Su.shape[0], cols))
-        lhs_rows = Su_local.T @ (G @ Su)  # [cols, W] row block
-        # dp-average so the assembled matrix is dp-invariant (each dp shard
-        # contributed its own scenario 0) — one more ICI collective.
-        lhs_rows = jax.lax.pmean(lhs_rows, dp_axis)
-        return res.cost, mean_cost, lhs_rows
+        U0_sp = jax.lax.dynamic_slice(
+            U0_local[0], (i * n_local, jnp.zeros((), i.dtype)),
+            (n_local, U0_local.shape[-1]))
+        U_sp, bcost, bit = _sp_solve_shard(
+            first, Q_rep, U0_sp, kp_idx, nb_iter, True, sp_axis)
+        # dp-average the batch cost so the emitted metric is dp-invariant
+        # (each dp shard solved its own scenario 0).
+        bcost = jax.lax.pmean(bcost, dp_axis)
+        return res.cost, mean_cost, U_sp, bcost, bit
 
-    return jax.jit(step)(spec_b, U0s)
+    with jax.default_matmul_precision("float32"):
+        return jax.jit(step)(spec_b, U0s, jnp.asarray(Q))

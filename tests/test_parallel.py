@@ -115,3 +115,48 @@ def test_al_batch_matches_single(spec, al_setup):
     )
     np.testing.assert_allclose(res.cost[1], single.cost, rtol=1e-9)
     np.testing.assert_allclose(res.U[1], single.U, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel batch solve: sp-sharded result == single-device result
+# ---------------------------------------------------------------------------
+
+def test_solve_batch_sp_matches_single_device(spec):
+    from ilqr_planner_tpu.parallel.spmd import solve_batch_sp
+    from ilqr_planner_tpu.solvers import batch
+
+    mesh = make_mesh(shape=(8,), axis_names=("sp",))
+    kp_idx = (49, 99)
+    u0 = np.zeros(99 * 7)
+    # 99 % 8 != 0 -> must raise
+    with pytest.raises(ValueError):
+        solve_batch_sp(spec, kp_idx, 10, u0, mesh)
+
+    spec9 = spec.replace()  # same spec, use an H-1 divisible mesh instead
+    mesh3 = make_mesh(shape=(3,), axis_names=("sp",),
+                      devices=jax.devices()[:3])
+    res_sp = solve_batch_sp(spec9, kp_idx, 10, u0, mesh3)
+    res_1 = batch.solve(spec9, kp_idx, 10, u0)
+    np.testing.assert_allclose(np.asarray(res_sp.u), np.asarray(res_1.u),
+                               atol=1e-9)
+    np.testing.assert_allclose(float(res_sp.cost), float(res_1.cost),
+                               rtol=1e-9, atol=1e-12)
+    assert int(res_sp.iterations) == int(res_1.iterations)
+
+
+def test_fleet_step_two_axis_mesh(spec):
+    from ilqr_planner_tpu.parallel.spmd import fleet_step
+
+    mesh = make_mesh(shape=(2, 3), axis_names=("dp", "sp"),
+                     devices=np.array(jax.devices()[:6]))
+    B = 4
+    ov = _scenarios(spec, B, seed=5)
+    ov = {k: np.asarray(v) for k, v in ov.items()}
+    U0s = np.zeros((B, 99, 7))
+    costs, mean_cost, U_sp, batch_cost, batch_it = fleet_step(
+        spec, {k: np.asarray(v) for k, v in ov.items()}, U0s, (49, 99), 5,
+        mesh)
+    assert costs.shape == (B,)
+    assert U_sp.shape == (99, 7)
+    assert np.isfinite(float(mean_cost))
+    assert np.isfinite(float(batch_cost))
