@@ -3,14 +3,25 @@ on one TPU chip (the BASELINE.json north-star workload).
 
 Workload: H=100, dt=0.1, two via-points, recursive iLQR, 10 iterations with
 line search + early stopping — the exact POS_ORN_SYS.ipynb configuration the
-reference solves in 19.2 ms on one CPU core (~52 solves/s/core). Here a
-batch of perturbed scenarios (random initial configurations) solves
-concurrently via vmap on one chip.
+reference solves in 19.2 ms on one CPU core (~52 solves/s/core). A batch of
+perturbed scenarios (random initial configurations) solves concurrently via
+vmap on one chip.
 
-Prints ONE JSON line on stdout; diagnostics go to stderr.
+Prints ONE JSON line on stdout; diagnostics go to stderr. The JSON carries
+every repeat's wall time and the min/median spread so environment noise
+(the TPU is reached through a shared tunnel whose latency varies by hours)
+is visible in the recorded artifact, not just the headline number.
+
+A persistent XLA compilation cache (.jax_cache/) makes reruns immune to the
+tunnel's multi-minute compile stalls: the first successful run stores the
+compiled executable, later runs load it in seconds.
+
+The wider BASELINE.md workload table lives in bench_table.py (committed
+results: BENCH_TABLE.json).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -18,10 +29,11 @@ import numpy as np
 
 REFERENCE_SOLVES_PER_S = 1.0 / 0.0192  # 19.2 ms/solve, 1 CPU core
 
-# Throughput is non-monotone in batch size (per-lane cost jumps once the
-# compiled program crosses tiling/memory thresholds), so measure a few
-# candidate batch sizes and report the best sustained rate.
-BATCH_CANDIDATES = (2304, 4608, 9216)
+# Measured round 2 (fleet path): B=4608 -> 14.2k solves/s, B=9216 -> 23.9k
+# (the larger batch fills the 128-lane tiles better). Both programs are in
+# the persistent compile cache. Override with BENCH_BATCHES=a,b for sweeps.
+BATCH_CANDIDATES = tuple(
+    int(b) for b in os.environ.get("BENCH_BATCHES", "9216,4608").split(","))
 NB_ITER = 10
 REPEATS = 5
 
@@ -35,8 +47,8 @@ def _run_batch(solve_batch, spec, Q0, batch, jnp):
     t0 = time.time()
     res = solve_batch(spec, overrides, U0s, NB_ITER)
     np.asarray(res.cost)
-    print(f"B={batch}: compile+first solve {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"B={batch}: compile+first solve {compile_s:.1f}s", file=sys.stderr)
 
     # Time to materialized-result: fetch the per-scenario costs to host each
     # repeat. jax.block_until_ready does not reliably wait on the remote
@@ -47,12 +59,17 @@ def _run_batch(solve_batch, spec, Q0, batch, jnp):
         res = solve_batch(spec, overrides, U0s, NB_ITER)
         np.asarray(res.cost)
         times.append(time.time() - t0)
-    return min(times), res
+    return times, compile_s, res
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from __graft_entry__ import Q0, _panda_spec
     from ilqr_planner_tpu.parallel import solve_batch
@@ -63,28 +80,35 @@ def main():
     spec = _panda_spec(100, 49, 99, jnp.float32)
     results = []
     for batch in BATCH_CANDIDATES:
-        t, r = _run_batch(solve_batch, spec, Q0, batch, jnp)
-        print(f"B={batch}: {t * 1e3:.1f} ms -> {batch / t:,.0f} solves/s",
-              file=sys.stderr)
-        results.append((batch / t, batch, t, r))
-    _, BATCH, best, res = max(results)
+        times, compile_s, r = _run_batch(solve_batch, spec, Q0, batch, jnp)
+        t = min(times)
+        print(f"B={batch}: repeats {[f'{x*1e3:.0f}ms' for x in times]} "
+              f"-> best {batch / t:,.0f} solves/s", file=sys.stderr)
+        results.append((batch / t, batch, times, compile_s, r))
+    best_rate, BATCH, times, compile_s, res = max(results)
 
     costs = np.asarray(res.cost)
     median_cost = float(np.median(costs))
     converged = float(np.mean(costs < 1e-4))
-    print(f"best {best*1000:.2f} ms for {BATCH} solves; "
+    print(f"best {min(times)*1000:.2f} ms for {BATCH} solves; "
           f"median cost {median_cost:.2e}; {converged:.1%} converged < 1e-4",
           file=sys.stderr)
     if converged < 0.95:
         print("WARNING: convergence below 95% — throughput number suspect",
               file=sys.stderr)
 
-    solves_per_s = BATCH / best
+    solves_per_s = BATCH / min(times)
     print(json.dumps({
         "metric": "panda_posorn_H100_ilqr10_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / REFERENCE_SOLVES_PER_S, 1),
+        "batch": BATCH,
+        "repeat_times_s": [round(t, 4) for t in times],
+        "spread_max_over_min": round(max(times) / min(times), 2),
+        "compile_s": round(compile_s, 1),
+        "median_cost": median_cost,
+        "converged_frac": converged,
     }))
 
 

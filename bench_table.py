@@ -1,0 +1,312 @@
+"""Throughput table over the BASELINE.md workloads on one TPU chip.
+
+Each row solves a fleet of perturbed scenarios of one reference workload
+concurrently and reports solves/s/chip vs the reference's single-core wall
+time (BASELINE.md; numbers stored in the reference tutorial notebooks).
+
+Usage:
+    python bench_table.py [--rows name1,name2] [--out BENCH_TABLE.json]
+
+Per-row JSON lines go to stdout; diagnostics to stderr; the aggregate table
+is written to --out (default BENCH_TABLE.json at the repo root).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from __graft_entry__ import (Q0, T1_ORN, T1_POS, T2_ORN, T2_POS, URDF,
+                             _panda_spec)
+
+QD6 = [1, 1, 1, 0.1, 0.1, 0.1]
+REPEATS = 5
+
+
+def _q0s(B, sigma=0.05, seed=0):
+    rng = np.random.default_rng(seed)
+    return (np.asarray(Q0)[None] + sigma * rng.normal(size=(B, 7))).astype(
+        np.float32)
+
+
+def _row_flagship(jnp):
+    """Pos+orn H=100, recursive iLQR 10 it (POS_ORN_SYS.ipynb cell 15)."""
+    from ilqr_planner_tpu.parallel import solve_batch
+
+    spec = _panda_spec(100, 49, 99, jnp.float32)
+    B = 4608
+    q0s = _q0s(B)
+    ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
+    U0s = jnp.zeros((B, 99, 7), jnp.float32)
+
+    def run():
+        return solve_batch(spec, ov, U0s, 10)
+
+    return run, B, 19.2e-3, lambda r: np.asarray(r.cost)
+
+
+def _build_spec(kind, kps, horizon, nb_deriv, rt_dim=7, dt=0.1, q0=None,
+                robot=None, dtype=None, **kw):
+    import jax.numpy as jnp
+
+    from ilqr_planner_tpu.models import Robot, chain_from_urdf
+    from ilqr_planner_tpu.systems.spec import make_spec
+
+    dtype = dtype or jnp.float32
+    if robot is None:
+        robot = Robot.from_chain(chain_from_urdf(
+            URDF, "panda_link0", "panda_tip", dtype=np.dtype(dtype)))
+    qmax = np.ones(7) * np.pi * 10
+    return make_spec(kind, robot, kps, np.ones(rt_dim) * 1e-5, horizon,
+                     nb_deriv, dt=dt, q0=Q0 if q0 is None else q0,
+                     q_max=qmax, q_min=-qmax, dtype=dtype, **kw)
+
+
+def _row_second_order(jnp):
+    """Pos+orn 2nd order H=400, iLQR 15 it (POS_ORN_SYS_2ND.ipynb cell 11,
+    410 ms single-core)."""
+    from ilqr_planner_tpu.parallel import solve_batch
+    from ilqr_planner_tpu.systems.keypoints import PosOrnKeypoint
+
+    H = 400
+    qd_a = np.diag([1, 1, 1, .1, .1, .1, 1, 1, 1, 0, 0, 0])
+    qd_b = np.diag([1, 1, 1, .1, .1, .1, 1, 1, 1, .1, .1, .1])
+    kps = [PosOrnKeypoint(T1_POS, T1_ORN, qd_a, H // 2 - 1,
+                          dposition=[0, 0, 0], dorientation=[0, 0, 0, 0]),
+           PosOrnKeypoint(T2_POS, T2_ORN, qd_b, H - 1,
+                          dposition=[0, 0, 0], dorientation=[0, 0, 0, 0])]
+    spec = _build_spec("posorn", kps, H, 2, dt=0.01,
+                       dq_max=np.ones(7) * 10, dq_min=-np.ones(7) * 10)
+    B = 1024
+    q0s = _q0s(B)
+    x0s = np.concatenate([q0s, np.zeros_like(q0s)], axis=-1)
+    ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(x0s)}
+    U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
+
+    def run():
+        return solve_batch(spec, ov, U0s, 15)
+
+    return run, B, 410e-3, lambda r: np.asarray(r.cost)
+
+
+def _row_time_optimal(jnp):
+    """Pos+orn time-optimal H=100, iLQR 20 it (POS_ORN_TIME_SYS.ipynb
+    cell 11, 37.7 ms single-core)."""
+    from ilqr_planner_tpu.parallel import solve_batch
+    from ilqr_planner_tpu.systems.keypoints import SpacetimeKeypoint
+
+    H = 100
+    kps = [SpacetimeKeypoint(T1_POS, T1_ORN, np.diag(QD6 + [0]), 49, 2.0),
+           SpacetimeKeypoint(T2_POS, T2_ORN, np.diag(QD6 + [0.1]), 99, 5.0)]
+    spec = _build_spec("posorn_time", kps, H, 1, rt_dim=8, dt=None,
+                       q0=np.zeros(7))
+    B = 2048
+    rng = np.random.default_rng(1)
+    q0s = (0.05 * rng.normal(size=(B, 7))).astype(np.float32)  # around 0
+    x0s = np.concatenate([q0s, np.zeros((B, 1), np.float32)], axis=-1)
+    ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(x0s)}
+    U0 = np.tile(np.array([0.0] * 7 + [0.01], np.float32), (H - 1, 1))
+    U0s = jnp.asarray(np.tile(U0[None], (B, 1, 1)))
+
+    def run():
+        return solve_batch(spec, ov, U0s, 20)
+
+    return run, B, 37.7e-3, lambda r: np.asarray(r.cost)
+
+
+def _row_al_h400(jnp):
+    """Pos+orn H=400 with state bound x5 <= 2, AL-iLQR 100 it
+    (POS_ORN_SYS_AL_ILQR.ipynb cell 14, 727 ms single-core)."""
+    from ilqr_planner_tpu.parallel import solve_batch_al
+    from ilqr_planner_tpu.solvers.al_ilqr import Constraints
+    from ilqr_planner_tpu.systems.keypoints import PosOrnKeypoint
+
+    H = 400
+    kps = [PosOrnKeypoint(T1_POS, T1_ORN, np.diag(QD6), 199),
+           PosOrnKeypoint(T2_POS, T2_ORN, np.diag(QD6), 399)]
+    spec = _build_spec("posorn", kps, H, 1, dt=0.01)
+    A = np.zeros((14, 14), np.float32)
+    A[5, 5] = 1.0
+    b = np.zeros(14, np.float32)
+    b[5] = 2.0
+    cons = Constraints.uniform(jnp.asarray(A), jnp.asarray(b), H)
+    B = 512
+    q0s = _q0s(B)
+    ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
+    U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
+
+    def run():
+        return solve_batch_al(spec, cons, jnp.asarray(b), ov, U0s, 100, 5,
+                              0.25, 1.1)
+
+    return run, B, 727e-3, lambda r: np.asarray(r.cost)
+
+
+def _row_sequential_h600(jnp):
+    """Two object frames (SequentialSystem) H=600, iLQR 10 it
+    (POS_ORN_MULTI_SYS.ipynb cell 23, 159 ms single-core)."""
+    from ilqr_planner_tpu.models import Robot, chain_from_urdf
+    from ilqr_planner_tpu.ops import so3
+    from ilqr_planner_tpu.parallel import solve_batch
+    from ilqr_planner_tpu.systems.keypoints import PosOrnKeypoint
+    from ilqr_planner_tpu.systems.spec import make_spec, sequential_spec
+
+    H, dt = 600, 0.01
+    robot = Robot.from_chain(chain_from_urdf(
+        URDF, "panda_link0", "panda_tip", dtype=np.dtype(np.float32)))
+    obj1 = np.eye(4)
+    obj1[:3, :3] = np.asarray(so3.quat_to_mat(np.array(
+        [0.63758403393523, 0.2994657314658187, 0.6042309402208079,
+         -0.37244039285286973])))
+    obj1[:3, 3] = [0.62, 0.05, 0.34]
+    obj2 = np.eye(4)
+    obj2[:3, :3] = np.asarray(so3.quat_to_mat(np.array(
+        [-0.03647984, 0.94060485, 0.33742794, 0.00860923])))
+    obj2[:3, 3] = [0.32, 0.05, 0.54]
+    qmax = np.ones(7) * np.pi * 10
+    qd = np.diag([1, 1, 1, 0, 0, 0])
+    cmd = np.ones(7, np.float32) * 1e-5
+    sub1 = make_spec("posorn", robot.with_frame(obj1),
+                     [PosOrnKeypoint([0, 0, -0.15], [1, 0, 0, 0], qd, H // 2)],
+                     cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax,
+                     dtype=jnp.float32)
+    sub2 = make_spec("posorn", robot.with_frame(obj2),
+                     [PosOrnKeypoint([0.1, 0.1, -0.1], [1, 0, 0, 0], qd, H - 1)],
+                     cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax,
+                     dtype=jnp.float32)
+    spec = sequential_spec((sub1, sub2), cmd, dtype=jnp.float32)
+    B = 1024
+    q0s = _q0s(B, sigma=0.02)
+    ov = {"x0": jnp.asarray(q0s)}
+    U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
+
+    def run():
+        return solve_batch(spec, ov, U0s, 10)
+
+    return run, B, 159e-3, lambda r: np.asarray(r.cost)
+
+
+def _row_batch_gn(jnp):
+    """BatchILQR H=100 10 it (POS_ORN_SYS.ipynb cell 16, 803 ms
+    single-core) — the scan-free Woodbury path."""
+    from ilqr_planner_tpu.parallel import solve_batch_gn
+
+    spec = _panda_spec(100, 49, 99, jnp.float32)
+    B = 4096
+    q0s = _q0s(B)
+    ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
+    u0s = jnp.zeros((B, 99 * 7), jnp.float32)
+
+    def run():
+        return solve_batch_gn(spec, (49, 99), ov, u0s, 10)
+
+    return run, B, 803e-3, lambda r: np.asarray(r.cost)
+
+
+def _row_batch_cp(jnp):
+    """BatchILQRCP K=2 H=100 10 it (POS_ORN_SYS.ipynb cell 14, 58.4 ms
+    single-core)."""
+    from ilqr_planner_tpu.ops import primitives
+    from ilqr_planner_tpu.parallel import solve_batch_gn
+
+    spec = _panda_spec(100, 49, 99, jnp.float32)
+    psi = np.kron(primitives.build_psi_unitstep(99, 2),
+                  np.eye(7)).astype(np.float32)
+    B = 4096
+    q0s = _q0s(B)
+    ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
+    u0s = jnp.zeros((B, 99 * 7), jnp.float32)
+
+    def run():
+        return solve_batch_gn(spec, (49, 99), ov, u0s, 10, psi=psi)
+
+    return run, B, 58.4e-3, lambda r: np.asarray(r.cost)
+
+
+ROWS = {
+    "flagship_posorn_h100_ilqr10": _row_flagship,
+    "posorn2nd_h400_ilqr15": _row_second_order,
+    "timeopt_h100_ilqr20": _row_time_optimal,
+    "al_h400_100it": _row_al_h400,
+    "sequential_2frames_h600_ilqr10": _row_sequential_h600,
+    "batch_gn_h100_10it": _row_batch_gn,
+    "batch_cp_h100_10it": _row_batch_cp,
+}
+
+
+def run_row(name, builder, jnp):
+    run, B, ref_s, fetch = builder(jnp)
+    t0 = time.time()
+    res = run()
+    costs = fetch(res)
+    compile_s = time.time() - t0
+    print(f"{name}: B={B} compile+first {compile_s:.1f}s", file=sys.stderr)
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        res = run()
+        costs = fetch(res)
+        times.append(time.time() - t0)
+    best = min(times)
+    sps = B / best
+    entry = {
+        "row": name,
+        "batch": B,
+        "solves_per_s": round(sps, 1),
+        "repeat_times_s": [round(t, 4) for t in times],
+        "compile_s": round(compile_s, 1),
+        "median_cost": float(np.median(costs)),
+        "ref_wall_s": ref_s,
+        "vs_baseline": round(sps * ref_s, 1),
+    }
+    print(json.dumps(entry))
+    sys.stdout.flush()
+    return entry
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", default=None)
+    ap.add_argument("--out", default="/root/repo/BENCH_TABLE.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    names = list(ROWS) if args.rows is None else args.rows.split(",")
+    table = []
+    for name in names:
+        try:
+            table.append(run_row(name, ROWS[name], jnp))
+        except Exception as e:  # keep going: one bad row != no table
+            print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            table.append({"row": name, "error": str(e)})
+
+    out = {"device": str(dev), "rows": table}
+    if args.out:
+        # merge with any rows recorded by earlier (partial) runs
+        import os
+        if os.path.exists(args.out):
+            try:
+                old = json.load(open(args.out))
+                have = {r["row"] for r in table}
+                table[:0] = [r for r in old.get("rows", [])
+                             if r["row"] not in have]
+                out["rows"] = table
+            except Exception:
+                pass
+        json.dump(out, open(args.out, "w"), indent=1)
+        print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,9 +129,10 @@ def solve_batch_sp(spec: Spec, kp_idx, nb_iter: int, u0, mesh: Mesh,
     kp_idx = tuple(int(k) for k in kp_idx)
     if Q is None:
         Q = batch_solver.sparse_Q(spec, kp_idx)
-    if not batch_solver.fast_supported(spec):
-        raise ValueError("solve_batch_sp requires closed-form LTI dynamics "
-                         "(batch.fast_supported)")
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    if not batch_solver.fast_supported(spec) or base.time_optimal:
+        raise ValueError("solve_batch_sp requires closed-form constant-A/B "
+                         "dynamics (non-time-optimal, positive R)")
     H, nu = spec.horizon, spec.nu
     n_sp = mesh.shape[sp_axis]
     if (H - 1) % n_sp:

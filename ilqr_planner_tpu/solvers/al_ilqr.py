@@ -345,6 +345,9 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
         Ks, ds = _backward_core_al(spec, As, Bs, *l_terms, ckx, cku, Is, Cs,
                                    lam)
 
+        # Trials as a masked scan over the alpha grid (see
+        # ilqr._solve_body_sparse for why this stays sequential on TPU):
+        # first passing alpha adopted, floor trial sticks when none passes.
         def trial(tc, a):
             accepted, best = tc
             out = _light_rollout(spec, a, Ks, ds, X, U, kp_steps)

@@ -175,16 +175,17 @@ def _diff_batch(spec: Spec, fX_kp, kp_idx):
 
 def fast_supported(spec: Spec) -> bool:
     """True when the closed-form (scan-free, Woodbury) batch path applies:
-    constant-A/B integrator dynamics and a strictly positive control
-    penalty (the Woodbury identity divides by R's diagonal)."""
-    base = spec.subs[0] if spec.kind == "sequential" else spec
+    a strictly positive control penalty (the Woodbury identity divides by
+    R's diagonal). All integrator kinds qualify — for the time-optimal
+    (dt = s^2) dynamics the transfer blocks and states are closed forms in
+    the prefix sums of the per-step durations (see _time_su_rows)."""
     import numpy as np
 
     try:
         rt = np.asarray(spec.Rt)
     except Exception:  # traced leaves: caller must decide statically
         return False
-    return (not base.time_optimal) and bool(np.all(rt > 0))
+    return bool(np.all(rt > 0))
 
 
 def _lti_su_rows(spec: Spec, kp_idx, dtype, js=None):
@@ -272,14 +273,121 @@ def _lti_states_at(spec: Spec, U, ks):
     return _lti_states_base(spec, ks, U.dtype) + _lti_states_partial(spec, U, ks)
 
 
+# ---------------------------------------------------------------------------
+# Time-optimal closed forms: dt_j = s_j^2 with s_j = u_j[-1]; A products and
+# states are closed forms in the prefix sums T_i = sum_{p<i} dt_p.
+# ---------------------------------------------------------------------------
+
+
+def _time_su_rows(spec: Spec, kp_idx, U, dtype):
+    """Closed-form Su over keypoint rows for the time-optimal kinds,
+    reproducing _build_su's zero-seeded pre-update capture with the
+    rollout-emitted B_j (funcs.dynamics): Su[k][:, j] = A_{k-1} ... A_{j+1}
+    B_j for 1 <= j <= k-1.
+
+    The reference's fpBatch stores the (A, B) of transition i-1 -> i at
+    slot i (System.cpp:195-208), so Su column j carries B_{j-1} propagated
+    by A_j ... A_{k-2} — the "shifted-by-one" quirk for time-varying B
+    (module docstring; exact for constant A, B).
+
+    First order: A = I, so Su[k][:, j] = B_{j-1} with
+    B_i[:dof,:dof] = dt_i I, B_i[:dof,-1] = 2 s_i u_i[:dof],
+    B_i[-1,-1] = 2 s_i.
+    Second order: A_i = I + dt_i E with E^2 = 0 (E maps dq rows into q), so
+    the propagated block is (I + (T_{k-1} - T_j) E) B_{j-1}; B_i's last
+    column uses the *updated* velocity dq_{i+1}
+    (PosOrnTimePlannerSys.cpp:176)."""
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    H, nx, nu, dof = spec.horizon, spec.nx, spec.nu, base.dof
+    n_kp = len(kp_idx)
+    s_raw = U[:, -1].astype(dtype)                  # s_i, i = 0..H-2
+    dt_raw = s_raw * s_raw
+
+    def shift(a):
+        """a_col[j] = a[j-1] (column j carries step j-1's quantity)."""
+        return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
+
+    s = shift(s_raw)                                 # [H-1], s[j] = s_{j-1}
+    dt = shift(dt_raw)
+    Ucol = shift(U.astype(dtype))                    # u_{j-1} at column j
+    ks = jnp.asarray(list(kp_idx))[:, None]          # [n_kp, 1]
+    js = jnp.arange(H - 1)[None, :]
+    live = ((js >= 1) & (js <= ks - 1)).astype(dtype)   # [n_kp, H-1]
+
+    blocks = jnp.zeros((n_kp, H - 1, nx, nu), dtype)
+    eye = jnp.eye(dof, dtype=dtype)
+    if base.nb_deriv == 1:
+        # q rows
+        qq = (live * dt[None, :])[:, :, None, None] * eye
+        blocks = blocks.at[:, :, :dof, :dof].set(qq)
+        last_q = live[:, :, None] * (2.0 * s[None, :, None]
+                                     * Ucol[None, :, :dof])
+        blocks = blocks.at[:, :, :dof, -1].set(last_q)
+        blocks = blocks.at[:, :, -1, -1].set(live * (2.0 * s[None, :]))
+    else:
+        ddq = Ucol[:, :dof]                          # ddq_{j-1} at column j
+        T = jnp.concatenate([jnp.zeros(1, dtype), jnp.cumsum(dt_raw)])  # T_i
+        dq0 = spec.x0[dof : 2 * dof].astype(dtype)
+        # dq after step i (= dq_{i+1}); column j needs dq_j = dq_next[j-1]
+        dq_next = dq0[None, :] + jnp.cumsum(dt_raw[:, None]
+                                            * U[:, :dof].astype(dtype), axis=0)
+        dq_col = shift(dq_next)
+        # propagation factor for column j at keypoint k: T_{k-1} - T_j
+        P = T[ks - 1] - T[js]                        # [n_kp, H-1]
+        qq = (live * (0.5 * dt * dt + P * dt))[:, :, None, None] * eye
+        blocks = blocks.at[:, :, :dof, :dof].set(qq)
+        vv = (live * dt[None, :])[:, :, None, None] * eye
+        blocks = blocks.at[:, :, dof : 2 * dof, :dof].set(vv)
+        last_q = (2.0 * s[None, :, None] * dq_col[None]
+                  + 2.0 * (s ** 3)[None, :, None] * ddq[None]
+                  + P[:, :, None] * 2.0 * s[None, :, None] * ddq[None])
+        blocks = blocks.at[:, :, :dof, -1].set(live[:, :, None] * last_q)
+        last_dq = 2.0 * s[None, :, None] * ddq[None]
+        blocks = blocks.at[:, :, dof : 2 * dof, -1].set(
+            live[:, :, None] * last_dq)
+        blocks = blocks.at[:, :, -1, -1].set(live * (2.0 * s[None, :]))
+    return blocks.transpose(0, 2, 1, 3).reshape(n_kp * nx, (H - 1) * nu)
+
+
+def _time_states_at(spec: Spec, U, ks):
+    """States x_k at rows `ks` for the time-optimal dynamics, closed form:
+    t_k = t0 + T_k; first order q_k = q0 + sum_{j<k} dt_j u_j[:dof]; second
+    order dq_k = dq0 + sum dt_j ddq_j and q_k = q0 + T_k dq0 +
+    sum_{j<k} (dt_j (T_k - T_{j+1}) + dt_j^2/2) ddq_j."""
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    dtype = U.dtype
+    dof = base.dof
+    x0 = spec.x0.astype(dtype)
+    s = U[:, -1].astype(dtype)
+    dt = s * s
+    T = jnp.concatenate([jnp.zeros(1, dtype), jnp.cumsum(dt)])
+    ks_a = jnp.asarray(list(ks))[:, None]
+    js = jnp.arange(spec.horizon - 1)[None, :]
+    live = (js < ks_a).astype(dtype)                 # [n, H-1]
+    t = x0[-1] + T[jnp.asarray(list(ks))]            # [n]
+    if base.nb_deriv == 1:
+        q = x0[None, :dof] + (live * dt[None, :]) @ U[:, :dof].astype(dtype)
+        return jnp.concatenate([q, t[:, None]], axis=-1)
+    q0, dq0 = x0[:dof], x0[dof : 2 * dof]
+    ddq = U[:, :dof].astype(dtype)
+    dq = dq0[None, :] + (live * dt[None, :]) @ ddq
+    rem = T[ks_a] - T[js + 1]                        # T_k - T_{j+1}
+    coef = live * (dt[None, :] * rem + 0.5 * dt[None, :] * dt[None, :])
+    q = q0[None, :] + T[jnp.asarray(list(ks))][:, None] * dq0[None, :] \
+        + coef @ ddq
+    return jnp.concatenate([q, dq, t[:, None]], axis=-1)
+
+
 def _kp_terms(spec: Spec, U, kp_idx):
     """Everything the GN step and the cost need, from FK at keypoint rows
     only: residual e, lagged limit rows (ql, Lblk), and the per-row
     (fx, J). Limit slot k holds inspectJointLimit(x_{k-1}) (System.cpp:
     201-208); keypoints at k = 0 get zero rows like fpBatch's placeholder."""
-    X_kp = _lti_states_at(spec, U, kp_idx)
+    base = spec.subs[0] if spec.kind == "sequential" else spec
+    states_at = _time_states_at if base.time_optimal else _lti_states_at
+    X_kp = states_at(spec, U, kp_idx)
     prev = tuple(max(k - 1, 0) for k in kp_idx)
-    X_prev = _lti_states_at(spec, U, prev)
+    X_prev = states_at(spec, U, prev)
     return _kp_terms_from_states(spec, X_kp, X_prev, kp_idx)
 
 
@@ -333,8 +441,9 @@ def _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, use_psi):
     and iterations as a masked scan with early-stopped lanes frozen."""
     H, nu = spec.horizon, spec.nu
     dtype = u0.dtype
+    base = spec.subs[0] if spec.kind == "sequential" else spec
     Rdiag = jnp.tile(spec.Rt.astype(dtype), H - 1)
-    Su = _lti_su_rows(spec, kp_idx, dtype)
+    Su_const = None if base.time_optimal else _lti_su_rows(spec, kp_idx, dtype)
     alphas = (2.0 ** -jnp.arange(0, 11)).astype(dtype)
 
     def eval_cost(u):
@@ -343,7 +452,10 @@ def _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, use_psi):
 
     def iter_body(carry, _):
         u, it, done, cost_l, alpha_l = carry
-        e, ql, Lblk, Js, _ = _kp_terms(spec, u.reshape(H - 1, nu), kp_idx)
+        U2 = u.reshape(H - 1, nu)
+        Su = (_time_su_rows(spec, kp_idx, U2, dtype)
+              if base.time_optimal else Su_const)
+        e, ql, Lblk, Js, _ = _kp_terms(spec, U2, kp_idx)
         Jblk = _block_diag(Js)
         M = Jblk.T @ Q @ Jblk + jnp.diag(Lblk)
         rhs = Su.T @ (Jblk.T @ (Q @ e) + Lblk * ql) - Rdiag * u

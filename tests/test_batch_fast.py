@@ -32,16 +32,17 @@ def panda_robot():
     return Robot.from_chain(chain_from_urdf(URDF, "panda_link0", "panda_tip"))
 
 
-def _compare(spec, Q, psi, u0, kp_idx, nb_iter, use_psi):
+def _compare(spec, Q, psi, u0, kp_idx, nb_iter, use_psi, atol=1e-9,
+             early_stop=True):
     dummy = np.zeros((u0.shape[0], 1)) if psi is None else psi
-    slow = batch._solve_impl(spec, Q, dummy, u0, kp_idx, nb_iter, True,
+    slow = batch._solve_impl(spec, Q, dummy, u0, kp_idx, nb_iter, early_stop,
                              False, use_psi, False)
-    fast = batch._solve_impl(spec, Q, dummy, u0, kp_idx, nb_iter, True,
+    fast = batch._solve_impl(spec, Q, dummy, u0, kp_idx, nb_iter, early_stop,
                              False, use_psi, True)
     np.testing.assert_allclose(np.asarray(fast.u), np.asarray(slow.u),
-                               atol=1e-9)
+                               atol=atol)
     np.testing.assert_allclose(float(fast.cost), float(slow.cost),
-                               rtol=1e-9, atol=1e-12)
+                               rtol=1e-6, atol=1e-12)
     assert int(fast.iterations) == int(slow.iterations)
 
 
@@ -103,13 +104,39 @@ def test_fast_sequential_object_frames(panda_robot):
     _compare(spec, Q, None, np.zeros((H - 1) * 7), kp_idx, 8, False)
 
 
-def test_time_optimal_not_fast(panda_robot):
+def test_fast_time_optimal_first_order(panda_robot):
     H = 100
     kps = [SpacetimeKeypoint(T1_POS, T1_ORN, np.diag(QD6 + [0]), 49, 2.0),
            SpacetimeKeypoint(T2_POS, T2_ORN, np.diag(QD6 + [0.1]), 99, 5.0)]
     qmax = np.ones(7) * np.pi * 10
     spec = make_spec("posorn_time", panda_robot, kps, np.ones(8) * 1e-5, H, 1,
                      q0=np.zeros(7), q_max=qmax, q_min=-qmax)
-    # time-varying B: the closed-form Su doesn't apply; dispatch stays on the
-    # reference-shaped scan path.
-    assert not batch.fast_supported(spec)
+    assert batch.fast_supported(spec)
+    kp_idx = (49, 99)
+    Q = np.asarray(batch.sparse_Q(spec, kp_idx))
+    u0 = np.tile([0.0] * 7 + [0.01], H - 1)
+    # The time-optimal GN is ill-conditioned enough that the (algebraically
+    # identical) Woodbury step drifts to ~1e-7 over 8 iterations; compare
+    # with early stop off so a near-threshold ||du|| can't fork the paths.
+    _compare(spec, Q, None, u0, kp_idx, 8, False, atol=1e-6,
+             early_stop=False)
+    psi = np.kron(primitives.build_psi_unitstep(H - 1, 2), np.eye(8))
+    _compare(spec, Q, psi, u0, kp_idx, 10, True, atol=1e-6,
+             early_stop=False)
+
+
+def test_fast_time_optimal_second_order(panda_robot):
+    H = 60
+    qd = np.diag(QD6 + [1, 1, 1, 0, 0, 0] + [0.1])
+    kps = [SpacetimeKeypoint(T1_POS, T1_ORN, qd, H - 1, 3.0,
+                             dposition=[0, 0, 0], dorientation=[0, 0, 0, 0])]
+    qmax = np.ones(7) * np.pi * 10
+    spec = make_spec("posorn_time", panda_robot, kps, np.ones(8) * 1e-5, H, 2,
+                     q0=np.zeros(7), q_max=qmax, q_min=-qmax,
+                     dq_max=np.ones(7) * 10, dq_min=-np.ones(7) * 10)
+    assert batch.fast_supported(spec)
+    kp_idx = (H - 1,)
+    Q = np.asarray(batch.sparse_Q(spec, kp_idx))
+    u0 = np.tile([0.0] * 7 + [0.01], H - 1)
+    _compare(spec, Q, None, u0, kp_idx, 5, False, atol=1e-6,
+             early_stop=False)

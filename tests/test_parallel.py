@@ -160,3 +160,18 @@ def test_fleet_step_two_axis_mesh(spec):
     assert U_sp.shape == (99, 7)
     assert np.isfinite(float(mean_cost))
     assert np.isfinite(float(batch_cost))
+
+
+def test_solve_batch_gn_matches_single(spec):
+    from ilqr_planner_tpu.parallel import solve_batch_gn
+    from ilqr_planner_tpu.solvers import batch
+
+    B = 3
+    ov = _scenarios(spec, B, seed=7)
+    u0s = np.zeros((B, 99 * 7))
+    res = solve_batch_gn(spec, (49, 99), ov, u0s, 10)
+    assert res.cost.shape == (B,)
+    single = batch.solve(spec.replace(q0=ov["q0"][1], x0=ov["x0"][1]),
+                         (49, 99), 10, u0s[1])
+    np.testing.assert_allclose(res.cost[1], single.cost, rtol=1e-9)
+    np.testing.assert_allclose(res.u[1], single.u, atol=1e-9)
