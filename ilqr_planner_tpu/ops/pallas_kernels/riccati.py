@@ -15,6 +15,13 @@ DMA; the (P, p) value state lives in VMEM scratch across the whole sweep;
 the n x n Quu inverse is an in-register Gauss-Jordan without pivoting (Quu
 is SPD plus the reference's 1e-6 ridge, ILQRRecursive.cpp:89).
 
+Hardware status (TPU v5e, B=4096, H=100; bench_pallas_probe.py and
+bench_pallas_vs_fleet.py at the repo root, logs in docs/): compiles and
+matches on real TPU, 32.8x faster than the batch-leading-axis XLA reference
+below — but the production batch path (solvers/fleet.py) runs the same
+lane-major sweep keypoint-sparse in plain XLA and wins 3x end-to-end, so
+this kernel is the layout oracle, not the production backward.
+
 `riccati_backward_reference` is the same math in plain JAX — the test
 oracle and the non-TPU fallback. Both take batched arrays:
 

@@ -327,9 +327,11 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
     ckx = cons.A[:, :, :nx]
     cku = cons.A[:, :, nx:]
 
+    lti = funcs.constant_AB(spec, dtype) is not None
+
     zK = jnp.zeros((H - 1, nu, nx), dtype=dtype)
     zd = jnp.zeros((H - 1, nu), dtype=dtype)
-    X, U, ABs, cost0, _ = _light_rollout(
+    X, U, cost0, _ = _light_rollout(
         spec, jnp.asarray(0.0, dtype), zK, zd, jnp.zeros((H, nx), dtype), U0,
         kp_steps)
     Is0, Cs0 = _active_sets(cons, lam0, penalty0, X, U)
@@ -339,8 +341,14 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
         alphas = jnp.ones((1,), dtype)
 
     def iter_body(carry, _):
-        X, U, ABs, Is, Cs, cost0, lam, penalty, it, done = carry
-        As, Bs = ABs if isinstance(ABs, tuple) and len(ABs) == 2 else ((), ())
+        X, U, Is, Cs, cost0, lam, penalty, it, done = carry
+        if lti:
+            As, Bs = (), ()
+        else:
+            # Per-step A/B only for the single accepted trajectory (the
+            # trial rollouts never materialize them).
+            _, As, Bs = jax.vmap(lambda x, u: funcs.dynamics(spec, x, u))(
+                X[:-1], U)
         l_terms = _grads_sparse(spec, X, U, kp_steps)
         Ks, ds = _backward_core_al(spec, As, Bs, *l_terms, ckx, cku, Is, Cs,
                                    lam)
@@ -351,18 +359,18 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
         def trial(tc, a):
             accepted, best = tc
             out = _light_rollout(spec, a, Ks, ds, X, U, kp_steps)
-            cost = out[3]
+            cost = out[2]
             ok = (cost < cost0) & ~jnp.isnan(cost)
             take = ~accepted
             best = jax.tree_util.tree_map(
                 lambda b, o: jnp.where(take, o, b), best, out + (a,))
             return (accepted | ok, best), None
 
-        dummy = (X, U, ABs, cost0, jnp.asarray(0.0, dtype),
+        dummy = (X, U, cost0, jnp.asarray(0.0, dtype),
                  jnp.asarray(1.0, dtype))
         (_, picked), _ = jax.lax.scan(
             trial, (jnp.asarray(False), dummy), alphas)
-        Xn, Un, ABsn, costn, du_acc, alpha = picked
+        Xn, Un, costn, du_acc, alpha = picked
 
         # Active sets from the accepted trajectory with the pre-update
         # lam/penalty — the values the accepted trial's rollout captured.
@@ -374,17 +382,17 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
         new_lam = jnp.where(do_update,
                             jnp.maximum(lam + new_penalty * Csn, 0.0), lam)
 
-        new = (Xn, Un, ABsn, Isn, Csn, costn, new_lam, new_penalty, it + 1,
+        new = (Xn, Un, Isn, Csn, costn, new_lam, new_penalty, it + 1,
                done | (early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)))
-        old = (X, U, ABs, Is, Cs, cost0, lam, penalty, it, done)
+        old = (X, U, Is, Cs, cost0, lam, penalty, it, done)
         carry = jax.tree_util.tree_map(
             lambda o, n: jnp.where(done, o, n), old, new)
         return carry, None
 
-    carry0 = (X, U, ABs, Is0, Cs0, cost0, lam0, penalty0,
+    carry0 = (X, U, Is0, Cs0, cost0, lam0, penalty0,
               jnp.asarray(0, jnp.int32), jnp.asarray(False))
     carry, _ = jax.lax.scan(iter_body, carry0, None, length=nb_iter)
-    X, U, _, _, _, cost, lam, _, it, _ = carry
+    X, U, _, _, cost, lam, _, it, _ = carry
     fX = jax.vmap(lambda x: funcs.fx_jac(spec, x)[0])(X)
     return ALILQRResult(X=X, fX=fX, U=U, multipliers=lam, cost=cost,
                         iterations=it)

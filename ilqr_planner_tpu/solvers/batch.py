@@ -415,20 +415,32 @@ def _kp_terms_from_states(spec: Spec, X_kp, X_prev, kp_idx):
             Js, X_kp)
 
 
-def _woodbury_du(Su, M, Rd, rhs):
-    """du = (diag(Rd) + Su^T M Su)^{-1} rhs via the push-through identity
-    (D + U^T M U)^{-1} = D^{-1} - D^{-1} U^T M (I + U D^{-1} U^T M)^{-1}
-    U D^{-1} — an m x m solve (m = n_kp * nx) instead of the reference's
-    dense [(H-1) nu]^2 system (BatchILQR.cpp:130-132); M itself may be
-    singular (nQ < nx), which rules out the textbook Woodbury form."""
-    m = M.shape[0]
-    Dinv_rhs = rhs / Rd
-    SuD = Su / Rd[None, :]
-    P = SuD @ Su.T                                   # [m, m]
-    g = SuD @ rhs                                    # [m]
-    inner = jnp.eye(m, dtype=M.dtype) + P @ M
-    y = M @ jnp.linalg.solve(inner, g)
-    return Dinv_rhs - (Su.T @ y) / Rd
+def _stable_gn_du(Su, Qh, Jblk, Lblk, Rd, rhs):
+    """du = (diag(Rd) + Su^T (Jblk^T Q Jblk + diag(Lblk)) Su)^{-1} rhs via
+    the symmetric square-root (dual least-squares) identity: with
+    V = [Qh Jblk Su; sqrt(Lblk) Su] diag(Rd)^{-1/2} and Q = Qh^T Qh,
+
+        du = diag(Rd)^{-1/2} (I + V^T V)^{-1} diag(Rd)^{-1/2} rhs
+           = diag(Rd)^{-1/2} (r' - V^T (I_q + V V^T)^{-1} V r')
+
+    — a q x q SPD solve (q = residual rows + limit rows) instead of the
+    reference's dense [(H-1) nu]^2 system (BatchILQR.cpp:130-132).
+
+    Numerics note: the asymmetric push-through form
+    (I + Su D^{-1} Su^T M)^{-1} diverges in f32 on TPU — D^{-1} = 1/Rd
+    (~1e5) enters twice and the inner matrix is non-normal, so the ~1e-7
+    rounding of 6-pass-bf16 matmuls blows up through the solve (the same
+    code converges in true-f32 on CPU). The symmetric form keeps all
+    ill-conditioning inside one SPD solve, matching the dense path's
+    stability (verified on TPU: median cost 7e-5 vs the push-through
+    form's 1e-1 on the flagship batch workload)."""
+    sR = jnp.sqrt(Rd)
+    V = jnp.concatenate(
+        [Qh @ (Jblk @ Su), jnp.sqrt(Lblk)[:, None] * Su], axis=0
+    ) / sR[None, :]
+    rp = rhs / sR
+    G = jnp.eye(V.shape[0], dtype=V.dtype) + V @ V.T
+    return (rp - V.T @ jnp.linalg.solve(G, V @ rp)) / sR
 
 
 def _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, use_psi):
@@ -445,6 +457,10 @@ def _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, use_psi):
     Rdiag = jnp.tile(spec.Rt.astype(dtype), H - 1)
     Su_const = None if base.time_optimal else _lti_su_rows(spec, kp_idx, dtype)
     alphas = (2.0 ** -jnp.arange(0, 11)).astype(dtype)
+    # Square-root factor of the (constant, PSD) sparse precision block for
+    # the stable GN step: Q = Qh^T Qh with eigenvalues clipped at zero.
+    wq, Uq = jnp.linalg.eigh(Q)
+    Qh = jnp.sqrt(jnp.maximum(wq, 0.0))[:, None] * Uq.T
 
     def eval_cost(u):
         e, ql, Lblk, _, _ = _kp_terms(spec, u.reshape(H - 1, nu), kp_idx)
@@ -457,14 +473,14 @@ def _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, use_psi):
               if base.time_optimal else Su_const)
         e, ql, Lblk, Js, _ = _kp_terms(spec, U2, kp_idx)
         Jblk = _block_diag(Js)
-        M = Jblk.T @ Q @ Jblk + jnp.diag(Lblk)
         rhs = Su.T @ (Jblk.T @ (Q @ e) + Lblk * ql) - Rdiag * u
         if use_psi:
+            M = Jblk.T @ Q @ Jblk + jnp.diag(Lblk)
             lhs = psi.T @ (Su.T @ (M @ (Su @ psi))) \
                 + psi.T @ (Rdiag[:, None] * psi)
             du = psi @ jnp.linalg.solve(lhs, psi.T @ rhs)
         else:
-            du = _woodbury_du(Su, M, Rdiag, rhs)
+            du = _stable_gn_du(Su, Qh, Jblk, Lblk, Rdiag, rhs)
         cost0 = e @ (Q @ e) + jnp.sum(Rdiag * u * u) + jnp.sum(ql * Lblk * ql)
 
         def trial(tc, a):

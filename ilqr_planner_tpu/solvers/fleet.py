@@ -22,9 +22,10 @@ identical Gauss-Newton quadratization (System.cpp:248-311) and keypoint
 residuals (PosOrnKeypoint.cpp:24-45, sd.h:48-82). Differences are reduction
 orders (~1 ulp in f32).
 
-Scope: first-order (nb_deriv=1), non-time-optimal kinds — 'posorn', 'joint',
-'point' — with chain robots (the flagship workload class). Per-scenario
-variation: the initial configuration x0. Other kinds fall back to
+Scope: first-order (nb_deriv=1) kinds — 'posorn', 'joint', 'point' and the
+time-optimal 'posorn_time' / 'joint_time' (sqrt-dt control,
+PosOrnTimePlannerSys.cpp:149-184) — with chain robots. Per-scenario
+variation: the initial state x0. Other kinds fall back to
 parallel.solve_batch.
 """
 
@@ -43,10 +44,9 @@ __all__ = ["make_fleet_solver", "fleet_supported"]
 def fleet_supported(spec: Spec) -> bool:
     """True when this spec is in the lane-major solver's fast-path scope."""
     return (
-        spec.kind in ("posorn", "joint", "point")
+        spec.kind in ("posorn", "joint", "point", "posorn_time", "joint_time")
         and spec.nb_deriv == 1
-        and not spec.time_optimal
-        and (spec.kind == "joint"
+        and (spec.kind in ("joint", "joint_time")
              or (spec.robot.kind == "chain" and spec.robot.frame is None))
     )
 
@@ -61,15 +61,19 @@ class _Consts:
     def __init__(self, spec: Spec):
         if not fleet_supported(spec):
             raise ValueError(
-                f"fleet solver supports first-order posorn/joint/point chain "
-                f"specs; got kind={spec.kind!r} nb_deriv={spec.nb_deriv}"
+                f"fleet solver supports first-order posorn/joint/point/"
+                f"posorn_time/joint_time chain specs; got kind={spec.kind!r} "
+                f"nb_deriv={spec.nb_deriv}"
             )
         self.kind = spec.kind
         self.n = spec.nx
+        self.m = spec.nu
+        self.dof = spec.dof
+        self.time = bool(spec.time_optimal)
         self.H = spec.horizon
         self.np_dtype = np.dtype(jnp.dtype(spec.x0.dtype).name)
         f = lambda a: np.asarray(a, self.np_dtype)
-        self.dt = float(f(spec.dt))
+        self.dt = None if self.time else float(f(spec.dt))
         self.Rt = [float(v) for v in f(spec.Rt)]
         self.limits_set = spec.limits_set
         if self.limits_set:
@@ -77,7 +81,7 @@ class _Consts:
             self.smin = [float(v) for v in f(spec.state_min)]
             self.weight = [float(v) for v in f(spec.limit_weight)]
             self.penalty = float(f(spec.penalty))
-        if spec.kind != "joint":
+        if spec.kind not in ("joint", "joint_time"):
             ch = spec.robot.chain
             self.origin_rot = f(ch.origin_rot)
             self.origin_pos = f(ch.origin_pos)
@@ -309,17 +313,22 @@ def _posorn_residual_soa(kp, p, quat):
 def _kp_terms(cc: _Consts, kp, x, want_grads: bool):
     """(cost, gx, Gxx) of the keypoint at its step: cost = e^T P e,
     gx = J^T P e, Gxx = J^T P J (System.cpp:213-311), lane-major.
-    gx/Gxx are None when want_grads is False."""
-    n = cc.n
+    gx/Gxx are None when want_grads is False.
+
+    For the time-optimal kinds the residual gains a trailing time component
+    t* - t whose Jacobian row is a single 1 at the time column
+    (SpacetimeKeypoint.cpp:12-24, PosOrnTimePlannerSys.cpp:92-96)."""
+    n, dof = cc.n, cc.dof
     P = np.asarray(kp["prec"], np.float64)
     nq = P.shape[0]
 
-    if cc.kind == "joint":
+    if cc.kind in ("joint", "joint_time"):
         fx = x
         e = [float(kp["mu"][a]) - x[a] for a in range(n)]
-        J = None  # identity
+        J = None  # identity (incl. the time row for joint_time)
     else:
-        p, quat, J = _fk_soa(cc, x, want_jac=want_grads or cc.kind == "point")
+        p, quat, J = _fk_soa(cc, x[:dof],
+                             want_jac=want_grads or cc.kind == "point")
         if cc.kind == "point":
             fx = p
             e = [float(kp["mu"][a]) - p[a] for a in range(cc.car_dim)]
@@ -328,6 +337,9 @@ def _kp_terms(cc: _Consts, kp, x, want_grads: bool):
             fx = p + quat
             e = _posorn_residual_soa(kp, p, quat)
             # posorn J: 6 geometric rows pair with [r_p, r_o]
+        if cc.time:
+            fx = fx + [x[n - 1]]
+            e = e + [float(kp["mu"][-1]) - x[n - 1]]
 
     # zero-state guard (PosOrnKeypoint.cpp:29 via funcs.residual)
     zero_state = fx[0] == 0
@@ -348,24 +360,34 @@ def _kp_terms(cc: _Consts, kp, x, want_grads: bool):
     if not want_grads:
         return cost, None, None
 
-    if cc.kind == "joint":
+    if cc.kind in ("joint", "joint_time"):
         # J = I: gx = P e; Gxx = P (constant, folds into the trace)
         Gxx = [[float(P[i, j]) for j in range(n)] for i in range(n)]
         return cost, v, Gxx
 
-    # gx_i = sum_a J[a][i] v_a ; Gxx_ij = sum_a J[a][i] (P J)[a][j]
-    gx = [sum(J[a][i] * v[a] for a in range(nq)) for i in range(n)]
+    # Geometric rows: gx_i = sum_a J[a][i] v_a over the FK columns; the
+    # time row/col (posorn_time) contributes v[nq-1] at the time column.
+    ng = nq - 1 if cc.time else nq  # geometric residual rows
+    gx = [sum(J[a][i] * v[a] for a in range(ng)) for i in range(dof)]
+    gx += [jnp.zeros_like(x[0])] * (n - dof)
     PJ = [[None] * n for _ in range(nq)]
     for a, s, c in nz:
-        for j in range(n):
-            term = c * J[s][j]
-            PJ[a][j] = term if PJ[a][j] is None else PJ[a][j] + term
+        if s < ng:
+            for j in range(dof):
+                term = c * J[s][j]
+                PJ[a][j] = term if PJ[a][j] is None else PJ[a][j] + term
+        else:  # time column of J (entry 1 at state column n-1)
+            PJ[a][n - 1] = c if PJ[a][n - 1] is None else PJ[a][n - 1] + c
     for a in range(nq):
         for j in range(n):
             if PJ[a][j] is None:
-                PJ[a][j] = jnp.zeros_like(x[0])
-    Gxx = [[sum(J[a][i] * PJ[a][j] for a in range(nq)) for j in range(n)]
-           for i in range(n)]
+                PJ[a][j] = 0.0
+    Gxx = [[sum(J[a][i] * PJ[a][j] for a in range(ng)) for j in range(n)]
+           for i in range(dof)]
+    if cc.time:
+        gx[n - 1] = v[nq - 1]
+        Gxx += [[jnp.zeros_like(x[0])] * n for _ in range(n - dof)]
+        Gxx[n - 1] = [PJ[nq - 1][j] for j in range(n)]
     return cost, gx, Gxx
 
 
@@ -425,10 +447,10 @@ def _limit_arrays(cc: _Consts, X):
 def _rollout(cc: _Consts, alpha, Ks, ds, Xref, Uref, x0):
     """Closed-loop rollout u = uo + K (x - xo) + alpha d over all lanes.
 
-    Ks [H-1,n,n,B], ds/Uref [H-1,n,B], Xref [H,n,B], x0 [n,B]; alpha scalar
-    (traced) or float. Returns (X [H,n,B], U [H-1,n,B], cost [B], du [B]).
+    Ks [H-1,m,n,B], ds/Uref [H-1,m,B], Xref [H,n,B], x0 [n,B]; alpha scalar
+    (traced) or float. Returns (X [H,n,B], U [H-1,m,B], cost [B], du [B]).
     """
-    n = cc.n
+    n, m, dof = cc.n, cc.m, cc.dof
     dt = cc.dt
 
     def step(carry, inp):
@@ -436,10 +458,18 @@ def _rollout(cc: _Consts, alpha, Ks, ds, Xref, Uref, x0):
         K, d, xo, uo = inp
         dx = [x[j] - xo[j] for j in range(n)]
         du = [sum(K[i, j] * dx[j] for j in range(n)) + alpha * d[i]
-              for i in range(n)]
-        u = [uo[i] + du[i] for i in range(n)]
+              for i in range(m)]
+        u = [uo[i] + du[i] for i in range(m)]
         lim_c, _, _ = _limit_soa(cc, x)
-        x1 = [x[i] + dt * u[i] for i in range(n)]
+        if cc.time:
+            # dt_k = s^2 with s the last control (PosOrnTimePlannerSys.cpp:
+            # 154-161); the time state integrates dt_k.
+            s_ = u[m - 1]
+            dtk = s_ * s_
+            x1 = ([x[i] + dtk * u[i] for i in range(dof)]
+                  + [x[n - 1] + dtk])
+        else:
+            x1 = [x[i] + dt * u[i] for i in range(n)]
         du_acc = du_acc + jnp.sqrt(sum(v * v for v in du))
         return (x1, cost + lim_c, du_acc), (jnp.stack(x1), jnp.stack(u))
 
@@ -456,7 +486,7 @@ def _rollout(cc: _Consts, alpha, Ks, ds, Xref, Uref, x0):
         k = kp["k"]
         if k < cc.H - 1:
             uk = U[k]
-            cost = cost + sum(cc.Rt[i] * uk[i] * uk[i] for i in range(n))
+            cost = cost + sum(cc.Rt[i] * uk[i] * uk[i] for i in range(m))
         kc, _, _ = _kp_terms(cc, kp, _rows(X[k]), want_grads=False)
         cost = cost + kc
     return X, U, cost, du_acc
@@ -508,8 +538,64 @@ def _bwd_step(cc: _Consts, P, p, lxx_diag, lx, u, gxx=None):
     return P1, p1, K, d
 
 
+def _bwd_step_to(cc: _Consts, P, p, lxx_diag, lx, u, gxx=None):
+    """Time-optimal first-order backward step: A = I and the chain-rule
+    B = [[s^2 I, 2 s dq_cmd], [0, 2 s]] of PosOrnTimePlannerSys.cpp:161-162,
+    exploiting B's structure (one dense column) instead of dense matmuls.
+    K is [m, n] lane-major; value recursion uses the unregularized Quu."""
+    n, m, dof = cc.n, cc.m, cc.dof
+    reg = 1e-6
+    s_ = u[m - 1]
+    dtk = s_ * s_
+    g = [2.0 * s_ * u[i] for i in range(dof)]  # dq_cmd chain-rule column
+    h = 2.0 * s_
+
+    def btm(M, cols):
+        """B^T @ M for M [n, cols] nested lists."""
+        out = [[dtk * M[i][j] for j in range(cols)] for i in range(dof)]
+        out.append([sum(g[r] * M[r][j] for r in range(dof)) + h * M[n - 1][j]
+                    for j in range(cols)])
+        return out
+
+    PB = [[dtk * P[i][j] for j in range(dof)]
+          + [sum(P[i][r] * g[r] for r in range(dof)) + P[i][n - 1] * h]
+          for i in range(n)]
+    Qux = btm(P, n)                       # B^T P A with A = I   [m, n]
+    Quu = btm(PB, m)                      # B^T P B              [m, m]
+    for i in range(m):
+        Quu[i][i] = Quu[i][i] + cc.Rt[i]
+    Btp = ([dtk * p[i] for i in range(dof)]
+           + [sum(g[r] * p[r] for r in range(dof)) + h * p[n - 1]])
+    Qu = [cc.Rt[i] * u[i] + Btp[i] for i in range(m)]
+    Qx = [lx[i] + p[i] for i in range(n)]
+    Qxx = [[P[i][j] + (lxx_diag[i] if i == j else 0.0)
+            + (gxx[i][j] if gxx is not None else 0.0)
+            for j in range(n)] for i in range(n)]
+
+    M = [[Quu[i][j] + (reg if i == j else 0.0) for j in range(m)]
+         for i in range(m)]
+    sol = _solve_aug(M, [Qux[i] + [Qu[i]] for i in range(m)])
+    K = [[-sol[i][j] for j in range(n)] for i in range(m)]
+    d = [-sol[i][n] for i in range(m)]
+
+    QuuK = [[sum(Quu[i][r] * K[r][j] for r in range(m)) for j in range(n)]
+            for i in range(m)]
+    Quud = [sum(Quu[i][r] * d[r] for r in range(m)) for i in range(m)]
+    P1 = [[Qxx[i][j]
+           + sum(K[r][i] * QuuK[r][j] for r in range(m))
+           + sum(K[r][i] * Qux[r][j] for r in range(m))
+           + sum(Qux[r][i] * K[r][j] for r in range(m))
+           for j in range(n)] for i in range(n)]
+    p1 = [Qx[i]
+          + sum(K[r][i] * Quud[r] for r in range(m))
+          + sum(K[r][i] * Qu[r] for r in range(m))
+          + sum(Qux[r][i] * d[r] for r in range(m))
+          for i in range(n)]
+    return P1, p1, K, d
+
+
 def _backward(cc: _Consts, X, U):
-    """Full backward sweep -> (Ks [H-1,n,n,B], ds [H-1,n,B]).
+    """Full backward sweep -> (Ks [H-1,m,n,B], ds [H-1,m,B]).
 
     Limit-penalty quadratics stream as per-step DIAGONALS (they are diagonal,
     System.cpp:286-308); the dense J^T P J keypoint Hessians enter only at
@@ -537,11 +623,13 @@ def _backward(cc: _Consts, X, U):
         p = [p[i] - gx[i] for i in range(n)]
         P = [[P[i][j] + gxx[i][j] for j in range(n)] for i in range(n)]
 
+    step_fn = _bwd_step_to if cc.time else _bwd_step
+
     def seg_step(carry, inp):
         P_c, p_c = carry
         l2_t, lx_t, u_t = inp
-        P1, p1, K, d = _bwd_step(cc, _mat_pack(P_c, n), _rows_pack(p_c, n),
-                                 _rows(l2_t), _rows(lx_t), _rows(u_t))
+        P1, p1, K, d = step_fn(cc, _mat_pack(P_c, n), _rows_pack(p_c, n),
+                               _rows(l2_t), _rows(lx_t), _rows(u_t))
         return (_to_arr(P1), jnp.stack(p1)), (_to_arr(K), jnp.stack(d))
 
     def run_segment(P, p, hi, lo):
@@ -566,8 +654,8 @@ def _backward(cc: _Consts, X, U):
         # unrolled keypoint step at t = k with the dense Hessian term
         _, gx, gxx = _kp_terms(cc, kp_by_step[k], _rows(X[k]), want_grads=True)
         lx_k = [lx_all[k, i] - gx[i] for i in range(n)]
-        P_n, p_n, K, d = _bwd_step(cc, P, p, _rows(L2[k]), lx_k, _rows(U[k]),
-                                   gxx=gxx)
+        P_n, p_n, K, d = step_fn(cc, P, p, _rows(L2[k]), lx_k, _rows(U[k]),
+                                 gxx=gxx)
         P, p = P_n, p_n
         Ks_parts.append(_to_arr(K)[None])
         ds_parts.append(jnp.stack(d)[None])
@@ -604,7 +692,7 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
     (not traced); its arrays fold into the program as constants.
     """
     cc = _Consts(spec)
-    n, H = cc.n, cc.H
+    n, m, H = cc.n, cc.m, cc.H
     if line_search:
         alphas = tuple(2.0 ** -i for i in range(11))  # 1 .. 2^-10
     else:
@@ -612,11 +700,11 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
 
     def solve(x0s, U0s):
         x0 = jnp.moveaxis(jnp.asarray(x0s), 0, -1)      # [n, B]
-        U0 = jnp.moveaxis(jnp.asarray(U0s), 0, -1)      # [H-1, n, B]
+        U0 = jnp.moveaxis(jnp.asarray(U0s), 0, -1)      # [H-1, m, B]
         B = x0.shape[-1]
         dtype = x0.dtype
-        zK = jnp.zeros((H - 1, n, n, B), dtype)
-        zd = jnp.zeros((H - 1, n, B), dtype)
+        zK = jnp.zeros((H - 1, m, n, B), dtype)
+        zd = jnp.zeros((H - 1, m, B), dtype)
         zX = jnp.zeros((H, n, B), dtype)
         X, U, cost0, _ = _rollout(cc, 0.0, zK, zd, zX, U0, x0)
 
@@ -681,12 +769,14 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
 def _fx_traj(cc: _Consts, X):
     """fX [B, H, nt] for the whole accepted trajectory: the horizon flattens
     into the lane axis so the FK walk runs once over H*B lanes."""
-    H, n = cc.H, cc.n
+    H, n, dof = cc.H, cc.n, cc.dof
     B = X.shape[-1]
-    if cc.kind == "joint":
+    if cc.kind in ("joint", "joint_time"):
         return jnp.moveaxis(X, -1, 0)
-    q_flat = X.transpose(1, 0, 2).reshape(n, H * B)
+    q_flat = X[:, :dof].transpose(1, 0, 2).reshape(dof, H * B)
     p, quat, _ = _fk_soa(cc, _rows(q_flat), want_jac=False)
     comps = p if cc.kind == "point" else p + quat
+    if cc.time:
+        comps = comps + [X[:, n - 1].reshape(H * B)]
     fx = jnp.stack(comps)  # [nt, H*B]
     return fx.reshape(len(comps), H, B).transpose(2, 1, 0)

@@ -293,10 +293,13 @@ def _light_rollout(spec: Spec, alpha, Ks, ds, Xref, Uref, kp_steps):
     keypoint steps afterwards. This removes the 7-joint chain walk +
     Jacobian build from every step of every line-search trial — the
     dominant cost of the naive rollout — while producing the identical cost
-    value. Returns (X, U, ABs, cost, du_acc)."""
+    value. Per-step A/B matrices are NOT emitted (for the time-optimal
+    kinds that would write B * n_trials * H * nx^2 floats of HBM per
+    line-search sweep); the caller recomputes them for the single accepted
+    trajectory (dynamics() is memoryless in (x, u)).
+    Returns (X, U, cost, du_acc)."""
     x0 = spec.x0
     dtype = x0.dtype
-    lti = funcs.constant_AB(spec, dtype) is not None
 
     def step(carry, inp):
         x, cost, du_acc = carry
@@ -305,14 +308,13 @@ def _light_rollout(spec: Spec, alpha, Ks, ds, Xref, Uref, kp_steps):
         u = uo + du
         lim_c, _, _ = funcs._limit_triplet(spec, x)
         c = funcs.ctrl_cost(spec, u, k) + lim_c
-        x1, A, B = funcs.dynamics(spec, x, u)
+        x1, _, _ = funcs.dynamics(spec, x, u)
         du_acc = du_acc + jnp.sqrt(jnp.sum(du * du))
-        ab = () if lti else (A, B)
-        return (x1, cost + c, du_acc), (x1, u, ab)
+        return (x1, cost + c, du_acc), (x1, u)
 
     ks = jnp.arange(spec.horizon - 1)
     init = (x0, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
-    (xH, cost, du_acc), (Xs, U, ABs) = jax.lax.scan(
+    (xH, cost, du_acc), (Xs, U) = jax.lax.scan(
         step, init, (Ks, ds, Xref[:-1], Uref, ks)
     )
     X = jnp.concatenate([x0[None], Xs], axis=0)
@@ -324,7 +326,7 @@ def _light_rollout(spec: Spec, alpha, Ks, ds, Xref, Uref, kp_steps):
         fx, _ = funcs.fx_jac(spec, X[k])
         e = funcs.residual(spec, fx, k)
         cost = cost + e @ (funcs.prec_at(spec, k) @ e)
-    return X, U, ABs, cost, du_acc
+    return X, U, cost, du_acc
 
 
 def _grads_sparse(spec: Spec, X, U, kp_steps):
@@ -378,10 +380,11 @@ def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
     """
     dtype = spec.x0.dtype
     H, nu, nx = spec.horizon, spec.nu, spec.nx
+    lti = funcs.constant_AB(spec, dtype) is not None
 
     zK = jnp.zeros((H - 1, nu, nx), dtype=dtype)
     zd = jnp.zeros((H - 1, nu), dtype=dtype)
-    X, U, ABs, cost0, _ = _light_rollout(
+    X, U, cost0, _ = _light_rollout(
         spec, jnp.asarray(0.0, dtype), zK, zd, jnp.zeros((H, nx), dtype), U0,
         kp_steps)
     if line_search:
@@ -390,8 +393,14 @@ def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
         alphas = jnp.ones((1,), dtype)  # single unconditional trial at 1
 
     def iter_body(carry, _):
-        X, U, ABs, cost0, Ks, ds, it, done, alpha_l, du_l = carry
-        As, Bs = ABs if isinstance(ABs, tuple) and len(ABs) == 2 else ((), ())
+        X, U, cost0, Ks, ds, it, done, alpha_l, du_l = carry
+        if lti:
+            As, Bs = (), ()
+        else:
+            # Per-step A/B only for the single accepted trajectory (the
+            # trial rollouts above never materialize them).
+            _, As, Bs = jax.vmap(lambda x, u: funcs.dynamics(spec, x, u))(
+                X[:-1], U)
         l_terms = _grads_sparse(spec, X, U, kp_steps)
         Ks_n, ds_n = _backward_core(spec, As, Bs, *l_terms, pscan)
 
@@ -404,33 +413,33 @@ def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
         def trial(tc, a):
             accepted, best = tc
             out = _light_rollout(spec, a, Ks_n, ds_n, X, U, kp_steps)
-            cost = out[3]
+            cost = out[2]
             ok = (cost < cost0) & ~jnp.isnan(cost)
             take = ~accepted
             best = jax.tree_util.tree_map(
                 lambda b, o: jnp.where(take, o, b), best, out + (a,))
             return (accepted | ok, best), None
 
-        dummy = (X, U, ABs, cost0, jnp.asarray(0.0, dtype),
+        dummy = (X, U, cost0, jnp.asarray(0.0, dtype),
                  jnp.asarray(1.0, dtype))
         (acc, picked), _ = jax.lax.scan(
             trial, (jnp.asarray(False), dummy), alphas)
-        Xn, Un, ABsn, costn, du_acc, alpha = picked
+        Xn, Un, costn, du_acc, alpha = picked
 
-        new = (Xn, Un, ABsn, costn, Ks_n, ds_n, it + 1,
+        new = (Xn, Un, costn, Ks_n, ds_n, it + 1,
                done | (early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)
                        & (costn < 1e-3)),
                alpha, du_acc)
-        old = (X, U, ABs, cost0, Ks, ds, it, done, alpha_l, du_l)
+        old = (X, U, cost0, Ks, ds, it, done, alpha_l, du_l)
         carry = jax.tree_util.tree_map(
             lambda o, n: jnp.where(done, o, n), old, new)
         return carry, None
 
-    carry0 = (X, U, ABs, cost0, zK, zd,
+    carry0 = (X, U, cost0, zK, zd,
               jnp.asarray(0, jnp.int32), jnp.asarray(False),
               jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
     carry, _ = jax.lax.scan(iter_body, carry0, None, length=nb_iter)
-    X, U, ABs, cost, Ks, ds, it, done, alpha, _ = carry
+    X, U, cost, Ks, ds, it, done, alpha, _ = carry
     fX = jax.vmap(lambda x: funcs.fx_jac(spec, x)[0])(X)
     return ILQRResult(X=X, fX=fX, U=U, Ks=Ks, ds=alpha * ds, cost=cost,
                       iterations=it, alpha=alpha)

@@ -153,7 +153,76 @@ def test_fleet_matches_vmapped_joint(panda_robot):
 
 def test_fleet_rejects_unsupported(panda_robot):
     spec = _posorn_spec(panda_robot)
-    spec2 = spec.replace(kind="posorn_time")
+    spec2 = spec.replace(nb_deriv=2)
     assert not fleet_supported(spec2)
     with pytest.raises(ValueError):
         make_fleet_solver(spec2, 5)
+
+
+def _timeopt_spec(robot, dtype=np.float64, H=30):
+    from ilqr_planner_tpu.systems.keypoints import SpacetimeKeypoint
+
+    kps = [SpacetimeKeypoint(T1_POS, T1_ORN,
+                             np.diag([1, 1, 1, .1, .1, .1, 0]), H // 2 - 1,
+                             2.0),
+           SpacetimeKeypoint(T2_POS, T2_ORN,
+                             np.diag([1, 1, 1, .1, .1, .1, 0.1]), H - 1,
+                             5.0)]
+    qmax = np.ones(7) * np.pi * 10
+    return make_spec("posorn_time", robot, kps, np.ones(8) * 1e-5, H, 1,
+                     dt=None, q0=np.zeros(7), q_max=qmax, q_min=-qmax,
+                     dtype=dtype)
+
+
+def test_fleet_time_optimal_exact_in_f64(panda_robot_f64):
+    """posorn_time (sqrt-dt control, time-varying B): both layouts must
+    agree to f64 rounding across line-searched iterations."""
+    H = 30
+    spec = _timeopt_spec(panda_robot_f64, H=H)
+    assert fleet_supported(spec)
+    B = 2
+    rng = np.random.default_rng(1)
+    q0s = 0.05 * rng.normal(size=(B, 7))
+    x0s = np.concatenate([q0s, np.zeros((B, 1))], axis=-1)
+    U0 = np.tile(np.array([0.0] * 7 + [0.01]), (H - 1, 1))
+    U0s = np.tile(U0[None], (B, 1, 1))
+    ref = solve_batch(spec, {"q0": q0s, "x0": x0s}, U0s, 6,
+                      early_stop=False, prefer_fleet=False)
+    fleet = make_fleet_solver(spec, 6, early_stop=False)(x0s, U0s)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fleet.Ks), np.asarray(ref.Ks),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(fleet.fX), np.asarray(ref.fX),
+                               atol=1e-10)
+
+
+def test_fleet_joint_time_exact_in_f64(panda_robot_f64):
+    from ilqr_planner_tpu.systems.keypoints import AngularTimeKeypoint
+
+    H = 30
+    kps = [AngularTimeKeypoint(Q0 + 0.3, np.diag([1] * 7 + [0.1]),
+                               H // 2 - 1, 1.5),
+           AngularTimeKeypoint(Q0 - 0.2, np.diag([1] * 7 + [0.1]), H - 1,
+                               3.0)]
+    spec = make_spec("joint_time", panda_robot_f64, kps, np.ones(8) * 1e-5,
+                     H, 1, dt=None, q0=Q0, q_max=Q0 + 0.35, q_min=Q0 - 0.25,
+                     dtype=np.float64)
+    assert fleet_supported(spec)
+    B = 2
+    rng = np.random.default_rng(1)
+    q0s = Q0[None] + 0.02 * rng.normal(size=(B, 7))
+    x0s = np.concatenate([q0s, np.zeros((B, 1))], axis=-1)
+    U0 = np.tile(np.array([0.0] * 7 + [0.01]), (H - 1, 1))
+    U0s = np.tile(U0[None], (B, 1, 1))
+    ref = solve_batch(spec, {"q0": q0s, "x0": x0s}, U0s, 6,
+                      early_stop=False, prefer_fleet=False)
+    fleet = make_fleet_solver(spec, 6, early_stop=False)(x0s, U0s)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fleet.fX), np.asarray(ref.fX),
+                               atol=1e-10)
