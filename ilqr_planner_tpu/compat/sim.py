@@ -8,7 +8,6 @@ kinematics go through the functional core on the host CPU device.
 import jax
 import numpy as np
 
-from ilqr_planner_tpu.models.chain import KinematicChain
 from ilqr_planner_tpu.models.planar import PlanarRobot, planar_fk
 from ilqr_planner_tpu.models.robot import Robot, robot_kin
 from ilqr_planner_tpu.models.urdf import chain_from_urdf
@@ -98,6 +97,18 @@ class SimulationInterface:
     def Jr(self):
         c = self._robot.nb_car_dim
         return self._ks.J[c:].copy()
+
+    def Jtp(self):
+        """Time derivative of the translational Jacobian rows
+        (SimulationInterface.cpp:41-43, bound at bindings.cpp:93)."""
+        c = self._robot.nb_car_dim
+        return self._ks.dJ[:c].copy()
+
+    def Jrp(self):
+        """Time derivative of the rotational Jacobian rows
+        (SimulationInterface.cpp:45-47, bound at bindings.cpp:94)."""
+        c = self._robot.nb_car_dim
+        return self._ks.dJ[c:].copy()
 
     def get_dof(self):
         return self._robot.dof

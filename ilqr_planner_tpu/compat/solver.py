@@ -6,7 +6,7 @@ shapes (lists of per-step vectors become [T, dim] arrays, which the
 tutorials' `np.asarray(...)` handles identically).
 """
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -35,6 +35,9 @@ Sd = types.SimpleNamespace(
 
 # --- PyLQR.utils.primitives (bindings.cpp:901-907) ------------------------
 primitives = types.SimpleNamespace(
+    # The reference binds the RBF basis with capital RBF (bindings.cpp:903);
+    # the lowercase alias is kept for symmetry with the other bases.
+    build_psi_RBF=_prim.build_psi_rbf,
     build_psi_rbf=_prim.build_psi_rbf,
     build_psi_bernstein=_prim.build_psi_bernstein,
     build_psi_unitstep=_prim.build_psi_unitstep,

@@ -11,8 +11,6 @@ ops on every backend: deterministic, batch-broadcastable, and for matrices
 this small just as fast as the generic lowering.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ilqr_planner_tpu.solvers import al_ilqr, batch as batch_solver, ilqr
 from ilqr_planner_tpu.systems.spec import Spec

@@ -160,7 +160,7 @@ def _backward(spec: Spec, cons: Constraints, lam, X, fX, U, As, Bs, Js, Is, Cs):
 def _solve_impl(spec: Spec, cons: Constraints, lam0, U0, nb_iter: int,
                 lag_update_step: int, penalty0, scaling_factor,
                 line_search: bool, early_stop: bool, with_callback: bool,
-                kp_steps=None):
+                kp_steps=None, cb_id=None):
     with jax.default_matmul_precision("float32"):
         if not with_callback and kp_steps is not None:
             # Fast path (same restructuring as ilqr._solve_body_sparse):
@@ -174,11 +174,12 @@ def _solve_impl(spec: Spec, cons: Constraints, lam0, U0, nb_iter: int,
                                       kp_steps)
         return _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step,
                            penalty0, scaling_factor, line_search, early_stop,
-                           with_callback)
+                           with_callback, cb_id)
 
 
 def _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step, penalty0,
-                scaling_factor, line_search, early_stop, with_callback):
+                scaling_factor, line_search, early_stop, with_callback,
+                cb_id=None):
     dtype = spec.x0.dtype
     H, nu, nx = spec.horizon, spec.nu, spec.nx
     penalty0 = jnp.asarray(penalty0, dtype)
@@ -218,7 +219,8 @@ def _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step, penalty0,
         new_lam = jnp.where(do_update, jnp.maximum(lam + new_penalty * Csn, 0.0), lam)
 
         if with_callback:
-            jax.debug.callback(_emit_progress, it + 1, costn, alpha, ordered=True)
+            jax.debug.callback(_emit_progress, cb_id, it + 1, costn, alpha,
+                               ordered=True)
 
         done = early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)
         return (Xn, fXn, Un, Asn, Bsn, Jsn, Isn, Csn, costn, new_lam,
@@ -398,15 +400,10 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
                         iterations=it)
 
 
-_progress_cb = None
-
-
-def _emit_progress(it, cost, alpha):
-    msg = f"Iteration {int(it)}, Cost: {float(cost):g}, alpha= {float(alpha):g}"
-    if _progress_cb is not None:
-        _progress_cb.notify(msg)
-    else:  # pragma: no cover
-        print(msg)
+# Shared callback registry (see solvers.ilqr): callbacks flow through the
+# trace as integer ids, so concurrent solves never share mutable state.
+from ilqr_planner_tpu.solvers.ilqr import (_cb_registry, _emit_progress,
+                                           _register_cb)
 
 
 def solve(
@@ -424,19 +421,25 @@ def solve(
 ) -> ALILQRResult:
     """AL_ILQR::solve(U0, nb_iter, lag_update_step, penalty, scaling_factor,
     line_search, early_stop, cb) (AL-ILQR.h:35-55)."""
-    global _progress_cb
     U0 = jnp.asarray(U0)
     if U0.shape != (spec.horizon - 1, spec.nu):
         raise ValueError(f"U0 must be [{spec.horizon - 1}, {spec.nu}], got {U0.shape}")
     lam0 = jnp.asarray(init_lambda)
     if lam0.ndim == 1:
         lam0 = jnp.broadcast_to(lam0, (spec.horizon - 1,) + lam0.shape)
-    _progress_cb = callback
-    try:
+    if callback is None:
         return _solve_impl(spec, constraints, lam0, U0, int(nb_iter),
                            int(lag_update_step), float(penalty),
                            float(scaling_factor), bool(line_search),
-                           bool(early_stop), callback is not None,
-                           static_kp_steps(spec))
+                           bool(early_stop), False, static_kp_steps(spec))
+    cb_id = _register_cb(callback)
+    try:
+        res = _solve_impl(spec, constraints, lam0, U0, int(nb_iter),
+                          int(lag_update_step), float(penalty),
+                          float(scaling_factor), bool(line_search),
+                          bool(early_stop), True, static_kp_steps(spec),
+                          cb_id=jnp.asarray(cb_id, jnp.int32))
+        jax.block_until_ready(res)
+        return res
     finally:
-        _progress_cb = None
+        _cb_registry.pop(cb_id, None)

@@ -29,8 +29,6 @@ variation: the initial state x0. Other kinds fall back to
 parallel.solve_batch.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -208,18 +208,20 @@ def static_kp_steps(spec: Spec):
 @partial(jax.jit, static_argnames=("nb_iter", "line_search", "early_stop",
                                    "with_callback", "pscan", "kp_steps"))
 def _solve_impl(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
-                with_callback: bool, pscan: bool = False, kp_steps=None):
+                with_callback: bool, pscan: bool = False, kp_steps=None,
+                cb_id=None):
     # TPU MXU default matmul precision is bfloat16, whose 8-bit mantissa
     # diverges the Gauss-Newton iteration (NaN after convergence); force full
     # f32 accumulation for every dot traced inside the solve. Matrices here
     # are tiny (<=15 dims), so the 3/6-pass penalty is irrelevant.
     with jax.default_matmul_precision("float32"):
         return _solve_body(spec, U0, nb_iter, line_search, early_stop,
-                           with_callback, pscan, kp_steps)
+                           with_callback, pscan, kp_steps, cb_id)
 
 
 def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
-                with_callback: bool, pscan: bool = False, kp_steps=None):
+                with_callback: bool, pscan: bool = False, kp_steps=None,
+                cb_id=None):
     if not with_callback and kp_steps is not None:
         # Fast path: identical numerics, restructured control flow and
         # FK-sparse evaluation (see _solve_body_sparse). The while_loop path
@@ -259,7 +261,7 @@ def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: boo
 
         if with_callback:
             jax.debug.callback(
-                _emit_progress, it + 1, costn, alpha, ordered=True
+                _emit_progress, cb_id, it + 1, costn, alpha, ordered=True
             )
 
         done = early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3) & (costn < 1e-3)
@@ -445,13 +447,28 @@ def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
                       iterations=it, alpha=alpha)
 
 
-_progress_cb = None
+# Callback registry: solve() registers each callback under a fresh integer
+# id that flows through the jitted computation as a TRACED scalar, so
+# concurrent/nested solves with different callbacks never interleave (the
+# id is data, not shared module state) and no retrace occurs per callback
+# object.
+import itertools as _itertools
+
+_cb_registry = {}
+_cb_counter = _itertools.count()
 
 
-def _emit_progress(it, cost, alpha):
+def _register_cb(callback):
+    cb_id = next(_cb_counter)
+    _cb_registry[cb_id] = callback
+    return cb_id
+
+
+def _emit_progress(cb_id, it, cost, alpha):
     msg = f"Iteration {int(it)}, Cost: {float(cost):g}, alpha= {float(alpha):g}"
-    if _progress_cb is not None:
-        _progress_cb.notify(msg)
+    cb = _cb_registry.get(int(cb_id))
+    if cb is not None:
+        cb.notify(msg)
     else:  # pragma: no cover
         print(msg)
 
@@ -479,16 +496,24 @@ def solve(
     (ops.pscan) — faster for long horizons at small batch, numerically
     equal up to the 1e-6 gain regularization.
     """
-    global _progress_cb
     U0 = jnp.asarray(U0)
     if U0.shape != (spec.horizon - 1, spec.nu):
         raise ValueError(f"U0 must be [{spec.horizon - 1}, {spec.nu}], got {U0.shape}")
     if backward not in ("scan", "pscan"):
         raise ValueError(f"backward must be 'scan' or 'pscan', got {backward!r}")
-    _progress_cb = callback
-    try:
+    if callback is None:
         return _solve_impl(spec, U0, int(nb_iter), bool(line_search),
-                           bool(early_stop), callback is not None,
+                           bool(early_stop), False,
                            backward == "pscan", static_kp_steps(spec))
+    cb_id = _register_cb(callback)
+    try:
+        res = _solve_impl(spec, U0, int(nb_iter), bool(line_search),
+                          bool(early_stop), True,
+                          backward == "pscan", static_kp_steps(spec),
+                          cb_id=jnp.asarray(cb_id, jnp.int32))
+        # Dispatch is async; the ordered debug callbacks flush by result
+        # time, so block before dropping the registry entry.
+        jax.block_until_ready(res)
+        return res
     finally:
-        _progress_cb = None
+        _cb_registry.pop(cb_id, None)

@@ -27,7 +27,6 @@ import numpy as np
 from flax import struct
 
 from ilqr_planner_tpu.models.robot import Robot
-from ilqr_planner_tpu.systems.keypoints import Keypoint
 
 __all__ = ["Spec", "make_spec", "sequential_spec"]
 

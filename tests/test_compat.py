@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from PyLQR.sim import KDLRobot, Robot2D, TransformedSimulationInterface
-from PyLQR.solver import LQT, BatchILQR, BatchILQRCP, ILQRRecursive
+from PyLQR.solver import LQT, BatchILQRCP, ILQRRecursive
 from PyLQR.system import PosOrnKeypoint, PosOrnPlannerSys
 from PyLQR.utils import Sd, primitives
 
@@ -166,3 +166,54 @@ def test_lqt_compat_aliases():
     assert lqt.get_command(0).shape == (1,)
     lqt.solve_DP()
     assert np.asarray(lqt.get_command(0, mu[:2])).shape == (1,)
+
+
+def test_jacobian_derivative_slices_and_psi_RBF(tutorial):
+    """Drop-in holes closed in round 3: Jtp/Jrp (bindings.cpp:93-94) and the
+    capital-RBF basis builder (bindings.cpp:903)."""
+    rbt = tutorial[0]
+    rbt.send_vel(0.1, np.ones(7) * 0.1)
+    Jtp, Jrp = rbt.Jtp(), rbt.Jrp()
+    assert Jtp.shape == (3, 7) and Jrp.shape == (3, 7)
+    np.testing.assert_allclose(np.vstack([Jtp, Jrp]), rbt.Jp())
+    # dJ contracted with dq equals the FD derivative of J (utils.h:70-113)
+    q, dq, eps = rbt.get_q(), rbt.get_dq(), 1e-6
+    r1 = KDLRobot(URDF, "panda_link0", "panda_tip", q - eps * dq, np.zeros(7))
+    r2 = KDLRobot(URDF, "panda_link0", "panda_tip", q + eps * dq, np.zeros(7))
+    fd = (r2.J() - r1.J()) / (2 * eps)
+    np.testing.assert_allclose(np.vstack([Jtp, Jrp]), fd, atol=1e-5)
+
+    psi = primitives.build_psi_RBF(99, 5)
+    np.testing.assert_allclose(psi, primitives.build_psi_rbf(99, 5))
+    assert psi.shape == (99, 5)
+
+
+def test_concurrent_callbacks_do_not_interleave(tutorial):
+    """Two solves running on separate threads with different callbacks each
+    receive exactly their own iteration stream (round-2 verdict: the old
+    module-global callback slot interleaved nested/threaded solves)."""
+    import threading
+
+    _, sys_, horizon, dof, _, _, _ = tutorial
+    u0 = np.zeros((horizon - 1, dof))
+    iters = {"a": 4, "b": 6}
+    cbs = {k: RecordingCB() for k in iters}
+    errs = []
+
+    def run(k):
+        try:
+            ILQRRecursive(sys_).solve(u0, iters[k], True, False, cbs[k])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(k,)) for k in iters]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    for k in iters:
+        msgs = cbs[k].messages
+        assert len(msgs) == iters[k], (k, msgs)
+        got_iters = [int(m.split("Iteration ")[1].split(",")[0]) for m in msgs]
+        assert got_iters == list(range(1, iters[k] + 1))

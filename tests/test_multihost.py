@@ -12,7 +12,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),

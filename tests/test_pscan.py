@@ -6,7 +6,6 @@ iLQR trajectories on the golden Panda workload, and command-for-command
 LQT equality.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
