@@ -62,6 +62,52 @@ def _run_batch(solve_batch, spec, Q0, batch, jnp):
     return times, compile_s, res
 
 
+# v5e single-chip ceilings (public spec / jax-ml.github.io/scaling-book):
+# MXU 197 TFLOP/s bf16 (f32 accumulate ~1/2), HBM 819 GB/s. VPU: 8x128
+# lanes x 4 ALUs; at the ~0.94-1.7 GHz clock range that is ~3.9-6.9
+# TFLOP/s f32 elementwise — we use the conservative 3.9.
+V5E_HBM_GBPS = 819.0
+V5E_VPU_TFLOPS = 3.9
+V5E_MXU_BF16_TFLOPS = 197.0
+
+
+def _roofline(spec, batch, best_time_s, jnp):
+    """XLA-reported flops/bytes of the fleet program -> sustained vs peak.
+
+    Uses compiled cost_analysis (the compiler's own op counts), not hand
+    counting; per-solve numbers divide by the batch. The fleet program is
+    VPU-bound by design (every op is a [B]-lane elementwise FMA; no matmuls
+    large enough to enter the MXU), so the relevant ceilings are the VPU
+    FLOP rate and HBM bandwidth.
+    """
+    import jax
+
+    from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
+    solver = make_fleet_solver(spec, NB_ITER)
+    x0s = jnp.zeros((batch, 7), jnp.float32)
+    U0s = jnp.zeros((batch, 99, 7), jnp.float32)
+    try:
+        ca = jax.jit(solver.inner).lower(x0s, U0s).compile().cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # pragma: no cover - backend-dependent API
+        print(f"roofline: cost_analysis unavailable ({e})", file=sys.stderr)
+        return {}
+    tflops_sustained = flops / best_time_s / 1e12
+    gbps_sustained = bytes_acc / best_time_s / 1e9
+    return {
+        "flops_per_solve": round(flops / batch),
+        "hbm_bytes_per_solve": round(bytes_acc / batch),
+        "sustained_tflops": round(tflops_sustained, 4),
+        "sustained_hbm_gbps": round(gbps_sustained, 1),
+        "vpu_peak_frac": round(tflops_sustained / V5E_VPU_TFLOPS, 4),
+        "hbm_peak_frac": round(gbps_sustained / V5E_HBM_GBPS, 4),
+        "mxu_bf16_peak_frac": round(tflops_sustained / V5E_MXU_BF16_TFLOPS, 5),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -98,6 +144,7 @@ def main():
               file=sys.stderr)
 
     solves_per_s = BATCH / min(times)
+    roofline = _roofline(spec, BATCH, min(times), jnp)
     print(json.dumps({
         "metric": "panda_posorn_H100_ilqr10_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
@@ -109,6 +156,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "median_cost": median_cost,
         "converged_frac": converged,
+        **roofline,
     }))
 
 

@@ -46,7 +46,7 @@ def _row_flagship(jnp):
     def run():
         return solve_batch(spec, ov, U0s, 10)
 
-    return run, B, 19.2e-3, lambda r: np.asarray(r.cost)
+    return run, B, 19.2e-3
 
 
 def _build_spec(kind, kps, horizon, nb_deriv, rt_dim=7, dt=0.1, q0=None,
@@ -90,7 +90,7 @@ def _row_second_order(jnp):
     def run():
         return solve_batch(spec, ov, U0s, 15)
 
-    return run, B, 410e-3, lambda r: np.asarray(r.cost)
+    return run, B, 410e-3
 
 
 def _row_time_optimal(jnp):
@@ -115,7 +115,7 @@ def _row_time_optimal(jnp):
     def run():
         return solve_batch(spec, ov, U0s, 20)
 
-    return run, B, 37.7e-3, lambda r: np.asarray(r.cost)
+    return run, B, 37.7e-3
 
 
 def _row_al_h400(jnp):
@@ -143,7 +143,7 @@ def _row_al_h400(jnp):
         return solve_batch_al(spec, cons, jnp.asarray(b), ov, U0s, 100, 5,
                               0.25, 1.1)
 
-    return run, B, 727e-3, lambda r: np.asarray(r.cost)
+    return run, B, 727e-3
 
 
 def _row_sequential_h600(jnp):
@@ -187,7 +187,7 @@ def _row_sequential_h600(jnp):
     def run():
         return solve_batch(spec, ov, U0s, 10)
 
-    return run, B, 159e-3, lambda r: np.asarray(r.cost)
+    return run, B, 159e-3
 
 
 def _row_batch_gn(jnp):
@@ -204,7 +204,7 @@ def _row_batch_gn(jnp):
     def run():
         return solve_batch_gn(spec, (49, 99), ov, u0s, 10)
 
-    return run, B, 803e-3, lambda r: np.asarray(r.cost)
+    return run, B, 803e-3
 
 
 def _row_batch_cp(jnp):
@@ -224,7 +224,151 @@ def _row_batch_cp(jnp):
     def run():
         return solve_batch_gn(spec, (49, 99), ov, u0s, 10, psi=psi)
 
-    return run, B, 58.4e-3, lambda r: np.asarray(r.cost)
+    return run, B, 58.4e-3
+
+
+def _row_planar2d(jnp):
+    """2D planar 3-link, task-space position tracking, recursive iLQR 10 it,
+    H=100 (BASELINE.json configs[0]; reference sim 2DRobot.cpp:13-70 with
+    the FD pi*1e-3 Jacobian — the reference stores no wall time for it)."""
+    from ilqr_planner_tpu.models import Robot
+    from ilqr_planner_tpu.models.planar import PlanarRobot
+    from ilqr_planner_tpu.parallel import solve_batch
+    from ilqr_planner_tpu.systems.keypoints import PointKeypoint
+    from ilqr_planner_tpu.systems.spec import make_spec
+
+    H = 100
+    rob = Robot.from_planar(PlanarRobot(lengths=jnp.asarray(
+        np.array([1.0, 0.8, 0.5], np.float32))))
+    kps = [PointKeypoint([1.2, 0.9], np.eye(2), 49),
+           PointKeypoint([0.5, 1.6], np.eye(2), 99)]
+    spec = make_spec("point", rob, kps, np.ones(3) * 1e-5, H, 1, dt=0.1,
+                     q0=np.array([0.5, -0.2, 0.8]), dtype=jnp.float32)
+    B = 4096
+    rng = np.random.default_rng(2)
+    q0s = (np.array([0.5, -0.2, 0.8])[None]
+           + 0.05 * rng.normal(size=(B, 3))).astype(np.float32)
+    ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
+    U0s = jnp.zeros((B, H - 1, 3), jnp.float32)
+
+    def run():
+        return solve_batch(spec, ov, U0s, 10)
+
+    return run, B, None
+
+
+def _row_joint_h100(jnp):
+    """Joint-space H=100, recursive iLQR 10 it (JOINT_SPACE_SYS.ipynb
+    cell 15, 16.2 ms single-core)."""
+    from ilqr_planner_tpu.parallel import solve_batch
+    from ilqr_planner_tpu.systems.keypoints import AngularKeypoint
+
+    H = 100
+    kps = [AngularKeypoint(np.asarray(Q0) + 0.3, np.eye(7), 49),
+           AngularKeypoint(np.asarray(Q0) - 0.2, np.eye(7), 99)]
+    spec = _build_spec("joint", kps, H, 1)
+    B = 4608
+    q0s = _q0s(B, seed=3)
+    ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
+    U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
+
+    def run():
+        return solve_batch(spec, ov, U0s, 10)
+
+    return run, B, 16.2e-3
+
+
+def _row_joint_time_h100(jnp):
+    """Joint-space time-optimal H=100, recursive iLQR 10 it
+    (JOINT_SPACE_SYS_TIME.ipynb cell 15, 33.9 ms single-core)."""
+    from ilqr_planner_tpu.parallel import solve_batch
+    from ilqr_planner_tpu.systems.keypoints import AngularTimeKeypoint
+
+    H = 100
+    kps = [AngularTimeKeypoint(np.asarray(Q0) + 0.3, np.diag([1.0] * 7 + [0]),
+                               49, 2.0),
+           AngularTimeKeypoint(np.asarray(Q0) - 0.2,
+                               np.diag([1.0] * 7 + [0.1]), 99, 5.0)]
+    spec = _build_spec("joint_time", kps, H, 1, rt_dim=8, dt=None)
+    B = 2048
+    q0s = _q0s(B, seed=4)
+    x0s = np.concatenate([q0s, np.zeros((B, 1), np.float32)], axis=-1)
+    ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(x0s)}
+    U0 = np.tile(np.array([0.0] * 7 + [0.01], np.float32), (H - 1, 1))
+    U0s = jnp.asarray(np.tile(U0[None], (B, 1, 1)))
+
+    def run():
+        return solve_batch(spec, ov, U0s, 10)
+
+    return run, B, 33.9e-3
+
+
+def _row_hybrid_h500(jnp):
+    """Hybrid joint-space + task-space SequentialSystem H=500, recursive
+    iLQR 10 it (HYBRID_SYS.ipynb cell 17, 147 ms single-core)."""
+    from ilqr_planner_tpu.models import Robot, chain_from_urdf
+    from ilqr_planner_tpu.parallel import solve_batch
+    from ilqr_planner_tpu.systems.keypoints import (AngularKeypoint,
+                                                    PosOrnKeypoint)
+    from ilqr_planner_tpu.systems.spec import make_spec, sequential_spec
+
+    H, dt = 500, 0.01
+    robot = Robot.from_chain(chain_from_urdf(
+        URDF, "panda_link0", "panda_tip", dtype=np.dtype(np.float32)))
+    qmax = np.ones(7) * np.pi * 10
+    cmd = np.ones(7, np.float32) * 1e-5
+    sub_joint = make_spec(
+        "joint", robot, [AngularKeypoint(np.asarray(Q0) + 0.2, np.eye(7) * 0.1,
+                                         H // 2)],
+        cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax, dtype=jnp.float32)
+    sub_task = make_spec(
+        "posorn", robot, [PosOrnKeypoint(T2_POS, T2_ORN, np.diag(QD6), H - 1)],
+        cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax, dtype=jnp.float32)
+    spec = sequential_spec((sub_joint, sub_task), cmd, dtype=jnp.float32)
+    B = 1024
+    q0s = _q0s(B, sigma=0.02, seed=5)
+    ov = {"x0": jnp.asarray(q0s)}
+    U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
+
+    def run():
+        return solve_batch(spec, ov, U0s, 10)
+
+    return run, B, 147e-3
+
+
+def _row_objframe_h600(jnp):
+    """Single object frame H=600, recursive iLQR 10 it
+    (POS_ORN_SYS_OBJ_FRAME.ipynb cell 19, 78.5 ms single-core)."""
+    from ilqr_planner_tpu.models import Robot, chain_from_urdf
+    from ilqr_planner_tpu.ops import so3
+    from ilqr_planner_tpu.parallel import solve_batch
+    from ilqr_planner_tpu.systems.keypoints import PosOrnKeypoint
+    from ilqr_planner_tpu.systems.spec import make_spec
+
+    H, dt = 600, 0.01
+    robot = Robot.from_chain(chain_from_urdf(
+        URDF, "panda_link0", "panda_tip", dtype=np.dtype(np.float32)))
+    obj = np.eye(4)
+    obj[:3, :3] = np.asarray(so3.quat_to_mat(np.array(
+        [0.63758403393523, 0.2994657314658187, 0.6042309402208079,
+         -0.37244039285286973])))
+    obj[:3, 3] = [0.62, 0.05, 0.34]
+    qmax = np.ones(7) * np.pi * 10
+    spec = make_spec(
+        "posorn", robot.with_frame(obj),
+        [PosOrnKeypoint([0, 0, -0.15], [1, 0, 0, 0],
+                        np.diag([1, 1, 1, 0, 0, 0]), H - 1)],
+        np.ones(7, np.float32) * 1e-5, H, 1, dt=dt, q0=Q0, q_max=qmax,
+        q_min=-qmax, dtype=jnp.float32)
+    B = 1024
+    q0s = _q0s(B, sigma=0.02, seed=6)
+    ov = {"x0": jnp.asarray(q0s), "q0": jnp.asarray(q0s)}
+    U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
+
+    def run():
+        return solve_batch(spec, ov, U0s, 10)
+
+    return run, B, 78.5e-3
 
 
 ROWS = {
@@ -235,22 +379,28 @@ ROWS = {
     "sequential_2frames_h600_ilqr10": _row_sequential_h600,
     "batch_gn_h100_10it": _row_batch_gn,
     "batch_cp_h100_10it": _row_batch_cp,
+    "planar2d_h100_ilqr10": _row_planar2d,
+    "joint_h100_ilqr10": _row_joint_h100,
+    "joint_time_h100_ilqr10": _row_joint_time_h100,
+    "hybrid_h500_ilqr10": _row_hybrid_h500,
+    "objframe_h600_ilqr10": _row_objframe_h600,
 }
 
 
 def run_row(name, builder, jnp):
-    run, B, ref_s, fetch = builder(jnp)
+    run, B, ref_s = builder(jnp)
     t0 = time.time()
     res = run()
-    costs = fetch(res)
+    costs = np.asarray(res.cost)
     compile_s = time.time() - t0
     print(f"{name}: B={B} compile+first {compile_s:.1f}s", file=sys.stderr)
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
         res = run()
-        costs = fetch(res)
+        costs = np.asarray(res.cost)
         times.append(time.time() - t0)
+    iters = np.asarray(res.iterations)
     best = min(times)
     sps = B / best
     entry = {
@@ -260,8 +410,11 @@ def run_row(name, builder, jnp):
         "repeat_times_s": [round(t, 4) for t in times],
         "compile_s": round(compile_s, 1),
         "median_cost": float(np.median(costs)),
+        # iters-to-converge (BASELINE.json metric): median executed solver
+        # iterations per scenario (early stop freezes converged lanes)
+        "median_iters": float(np.median(iters)),
         "ref_wall_s": ref_s,
-        "vs_baseline": round(sps * ref_s, 1),
+        "vs_baseline": (round(sps * ref_s, 1) if ref_s is not None else None),
     }
     print(json.dumps(entry))
     sys.stdout.flush()

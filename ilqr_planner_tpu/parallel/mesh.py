@@ -62,6 +62,20 @@ def _spec_fingerprint(spec: Spec):
     return (str(treedef), h.hexdigest())
 
 
+def _fleet_dispatch(spec: Spec, overrides) -> tuple:
+    """(use_fleet, ov_names) for the lane-major fast path: the spec must be
+    in fleet scope and every override either the initial state or one of
+    the per-keypoint leaves the fleet takes as [B]-lane arrays."""
+    from ilqr_planner_tpu.solvers.fleet import FLEET_OVERRIDES, fleet_supported
+
+    ov_names = tuple(sorted(set(overrides) - {"q0", "x0"}))
+    if not set(ov_names) <= set(FLEET_OVERRIDES):
+        return False, ()
+    if ov_names and spec.kind == "sequential":
+        return False, ()
+    return fleet_supported(spec), ov_names
+
+
 def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int,
                 line_search: bool = True, early_stop: bool = True,
                 prefer_fleet: bool = True):
@@ -70,28 +84,33 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
     U0s: [B, H-1, nu]. overrides: per-scenario Spec leaves (leading axis B).
 
     Dispatches to the lane-major fleet solver (solvers.fleet) when the spec
-    is in its scope and the per-scenario variation is only the initial
-    state — measured ~18x faster than the vmap path on a TPU v5e chip
-    (14,381 vs 801 solves/s at B=4608 on the flagship workload; see
-    docs/fleet_ab_r02.log). Identical numerics to ~1e-7 in f32 (reduction
-    order); set prefer_fleet=False to force the vmap path.
+    is in its scope and the per-scenario variation is the initial state
+    and/or keypoint targets/precisions/dead-zones — measured ~18x faster
+    than the vmap path on a TPU v5e chip (14,381 vs 801 solves/s at B=4608
+    on the flagship workload; see docs/fleet_ab_r02.log). Identical
+    numerics to ~1e-7 in f32 (reduction order); set prefer_fleet=False to
+    force the vmap path.
     """
-    if prefer_fleet and set(overrides) <= {"q0", "x0"}:
+    if prefer_fleet:
         try:
-            from ilqr_planner_tpu.solvers.fleet import (fleet_supported,
-                                                        make_fleet_solver)
-            use = fleet_supported(spec)
+            use, ov_names = _fleet_dispatch(spec, overrides)
         except Exception:
             use = False
         if use:
+            from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
+
             key = (_spec_fingerprint(spec), int(nb_iter), bool(line_search),
-                   bool(early_stop))
+                   bool(early_stop), ov_names)
             solver = _fleet_cache.get(key)
             if solver is None:
                 solver = make_fleet_solver(spec, int(nb_iter),
-                                           bool(line_search), bool(early_stop))
+                                           bool(line_search), bool(early_stop),
+                                           overrides=ov_names)
                 _fleet_cache[key] = solver
             x0s = overrides.get("x0", overrides.get("q0"))
+            if ov_names:
+                ov = {k: jnp.asarray(overrides[k]) for k in ov_names}
+                return solver(jnp.asarray(x0s), jnp.asarray(U0s), ov)
             return solver(jnp.asarray(x0s), jnp.asarray(U0s))
 
     spec_b, spec_axes = batch_specs(spec, overrides)
@@ -107,15 +126,43 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
 def solve_batch_al(spec: Spec, constraints, lam0, overrides,
                    U0s, nb_iter: int, lag_update_step: int, penalty: float,
                    scaling_factor: float, line_search: bool = True,
-                   early_stop: bool = True):
-    """vmap the AL-iLQR fast path over a scenario batch on one device.
+                   early_stop: bool = True, prefer_fleet: bool = True):
+    """Solve a scenario batch of AL-iLQR problems on one device.
 
     constraints: a single Constraints pytree shared by all scenarios, or one
     with a leading scenario axis on A/b (then it maps over axis 0). lam0 is
     broadcast to [H-1, nc] per scenario. Reference workload: the H=400
     constrained Panda solve (POS_ORN_SYS_AL_ILQR.ipynb cell 14, 727 ms/solve
     single-core).
+
+    Dispatches to the lane-major AL fleet (fleet.make_fleet_solver_al) when
+    the spec is in fleet scope, scenarios vary only by initial state, and
+    the constraints are shared; falls back to the vmap path otherwise.
     """
+    cons_is_batched = jnp.asarray(constraints.A).ndim == 4
+    if prefer_fleet and not cons_is_batched and set(overrides) <= {"q0", "x0"}:
+        try:
+            from ilqr_planner_tpu.solvers.fleet import (fleet_supported,
+                                                        make_fleet_solver_al)
+            use = fleet_supported(spec)
+        except Exception:
+            use = False
+        if use:
+            key = (_spec_fingerprint(spec), "al", int(nb_iter),
+                   int(lag_update_step), float(penalty), float(scaling_factor),
+                   bool(line_search), bool(early_stop),
+                   _spec_fingerprint(constraints))
+            solver = _fleet_cache.get(key)
+            if solver is None:
+                solver = make_fleet_solver_al(
+                    spec, constraints, int(nb_iter), int(lag_update_step),
+                    float(penalty), float(scaling_factor), bool(line_search),
+                    bool(early_stop))
+                _fleet_cache[key] = solver
+            x0s = overrides.get("x0", overrides.get("q0"))
+            return solver(jnp.asarray(x0s), jnp.asarray(U0s),
+                          jnp.asarray(lam0))
+
     spec_b, spec_axes = batch_specs(spec, overrides)
     kp_steps = ilqr.static_kp_steps(spec_b)
     B = U0s.shape[0]
@@ -210,14 +257,54 @@ def solve_batch_chunked(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
 def solve_batch_sharded(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
                         nb_iter: int, mesh: Optional[Mesh] = None,
                         axis: str = "dp", line_search: bool = True,
-                        early_stop: bool = True):
+                        early_stop: bool = True, prefer_fleet: bool = True):
     """Shard the scenario batch across a mesh axis with `shard_map`.
 
     Each shard runs its own jitted solve loop over its local scenarios —
     shards converge and stop independently; only the caller's final gather
     touches the interconnect. B must divide evenly by the axis size.
+
+    When the spec is in fleet scope each shard runs the LANE-MAJOR fleet
+    solver on its local lanes (B/n_dp scenarios per chip at the measured
+    ~18x single-chip advantage); the vmap path is the fallback.
     """
     mesh = mesh or make_mesh()
+    if prefer_fleet:
+        try:
+            use, ov_names = _fleet_dispatch(spec, overrides)
+        except Exception:
+            use = False
+        if use:
+            from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
+
+            key = (_spec_fingerprint(spec), int(nb_iter), bool(line_search),
+                   bool(early_stop), ov_names)
+            solver = _fleet_cache.get(key)
+            if solver is None:
+                solver = make_fleet_solver(spec, int(nb_iter),
+                                           bool(line_search), bool(early_stop),
+                                           overrides=ov_names)
+                _fleet_cache[key] = solver
+            x0s = jnp.asarray(overrides.get("x0", overrides.get("q0")))
+            U0s = jnp.asarray(U0s)
+            ov = {k: jnp.asarray(overrides[k]) for k in ov_names}
+            res_specs = jax.tree_util.tree_map(
+                lambda _: P(axis),
+                jax.eval_shape(solver.inner, x0s, U0s, ov or None))
+
+            @partial(
+                jax.shard_map,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis)),
+                out_specs=res_specs,
+                check_vma=False,
+            )
+            def sharded_fleet(x0_local, U0_local, ov_local):
+                return solver.inner(x0_local, U0_local, ov_local or None)
+
+            with jax.default_matmul_precision("float32"):
+                return jax.jit(sharded_fleet)(x0s, U0s, ov)
+
     spec_b, spec_axes = batch_specs(spec, overrides)
 
     # Partition specs: overridden (scenario-batched) leaves shard over `axis`,

@@ -1,4 +1,4 @@
-"""Lane-major (struct-of-arrays) fleet solver for first-order systems.
+"""Lane-major (struct-of-arrays) fleet solver.
 
 The vmapped recursive solver (parallel.solve_batch) is layout-bound on TPU:
 with the scenario batch as the LEADING axis, XLA lays each small matrix's
@@ -22,56 +22,75 @@ identical Gauss-Newton quadratization (System.cpp:248-311) and keypoint
 residuals (PosOrnKeypoint.cpp:24-45, sd.h:48-82). Differences are reduction
 orders (~1 ulp in f32).
 
-Scope: first-order (nb_deriv=1) kinds — 'posorn', 'joint', 'point' and the
-time-optimal 'posorn_time' / 'joint_time' (sqrt-dt control,
-PosOrnTimePlannerSys.cpp:149-184) — with chain robots. Per-scenario
-variation: the initial state x0. Other kinds fall back to
-parallel.solve_batch.
+Scope (round 3 — the round-2 scope was first-order chain kinds only):
+  * kinds 'posorn', 'joint', 'point' at nb_deriv 1 AND 2 (double-integrator
+    A/B of PosOrnPlannerSys.cpp:125-130 exploited block-wise in
+    _bwd_step_2nd), and the first-order time-optimal 'posorn_time' /
+    'joint_time' (sqrt-dt control, PosOrnTimePlannerSys.cpp:149-184);
+  * object frames (TransformedSimulationInterface.cpp:53-103): folded into
+    the trace as constant rotations applied after the shared world FK walk;
+  * 'sequential' composition (SequentialSystem.cpp:13-278): per-sub
+    residual/limit/control-cost terms summed lane-major, the world FK walk
+    shared across subsystems on the same chain;
+  * per-scenario keypoint targets/precisions/dead-zones: `overrides`
+    lifts mu/prec/pos_radius/orn_thresh from trace constants to [B]-lane
+    arrays, keeping the fast path for (x0, keypoints, weights) scenario
+    batches (System.cpp:321-361 is the single-problem analogue);
+  * AL-iLQR (AL-ILQR.cpp:19-232): make_fleet_solver_al adds the lane-wide
+    active-set terms to the same backward sweep and runs the dual/penalty
+    update masked per lane.
+
+Everything else falls back to parallel.solve_batch's vmap path.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ilqr_planner_tpu.solvers.al_ilqr import ALILQRResult, Constraints
 from ilqr_planner_tpu.solvers.ilqr import ILQRResult
 from ilqr_planner_tpu.systems.spec import Spec
 
-__all__ = ["make_fleet_solver", "fleet_supported"]
+__all__ = ["make_fleet_solver", "make_fleet_solver_al", "fleet_supported",
+           "FLEET_OVERRIDES"]
+
+# Spec leaves the fleet path can take per-scenario (besides q0/x0).
+FLEET_OVERRIDES = ("mu", "prec", "pos_radius", "orn_thresh")
+
+
+def _sub_ok(s: Spec) -> bool:
+    if s.kind in ("joint", "joint_time"):
+        return s.nb_deriv == 1 if s.kind == "joint_time" else s.nb_deriv in (1, 2)
+    if s.kind in ("posorn", "point"):
+        return s.nb_deriv in (1, 2) and s.robot.kind == "chain"
+    if s.kind == "posorn_time":
+        return s.nb_deriv == 1 and s.robot.kind == "chain"
+    return False
 
 
 def fleet_supported(spec: Spec) -> bool:
     """True when this spec is in the lane-major solver's fast-path scope."""
-    return (
-        spec.kind in ("posorn", "joint", "point", "posorn_time", "joint_time")
-        and spec.nb_deriv == 1
-        and (spec.kind in ("joint", "joint_time")
-             or (spec.robot.kind == "chain" and spec.robot.frame is None))
-    )
+    if spec.kind == "sequential":
+        return all(_sub_ok(s) for s in spec.subs)
+    return _sub_ok(spec)
 
 
 # ---------------------------------------------------------------------------
 # host-side constant extraction
 # ---------------------------------------------------------------------------
 
-class _Consts:
-    """Concrete (numpy) problem constants, folded into the trace."""
+class _SubC:
+    """Concrete constants of one (sub)system."""
 
-    def __init__(self, spec: Spec):
-        if not fleet_supported(spec):
-            raise ValueError(
-                f"fleet solver supports first-order posorn/joint/point/"
-                f"posorn_time/joint_time chain specs; got kind={spec.kind!r} "
-                f"nb_deriv={spec.nb_deriv}"
-            )
+    def __init__(self, spec: Spec, np_dtype, ov_names=()):
         self.kind = spec.kind
-        self.n = spec.nx
-        self.m = spec.nu
-        self.dof = spec.dof
+        self.nb_deriv = spec.nb_deriv
         self.time = bool(spec.time_optimal)
-        self.H = spec.horizon
-        self.np_dtype = np.dtype(jnp.dtype(spec.x0.dtype).name)
-        f = lambda a: np.asarray(a, self.np_dtype)
-        self.dt = None if self.time else float(f(spec.dt))
+        self.n = spec.nx
+        self.dof = spec.dof
+        self.nt = spec.nt
+        self.nq = spec.nq_var
+        f = lambda a: np.asarray(a, np_dtype)
         self.Rt = [float(v) for v in f(spec.Rt)]
         self.limits_set = spec.limits_set
         if self.limits_set:
@@ -79,6 +98,8 @@ class _Consts:
             self.smin = [float(v) for v in f(spec.state_min)]
             self.weight = [float(v) for v in f(spec.limit_weight)]
             self.penalty = float(f(spec.penalty))
+        self.chain_key = None
+        self.frame = None
         if spec.kind not in ("joint", "joint_time"):
             ch = spec.robot.chain
             self.origin_rot = f(ch.origin_rot)
@@ -88,12 +109,21 @@ class _Consts:
             self.tip_rot = f(ch.tip_rot)
             self.tip_pos = f(ch.tip_pos)
             self.car_dim = spec.robot.nb_car_dim
-        # keypoints: static steps with concrete targets/precisions
+            self.chain_key = (self.origin_rot.tobytes(), self.origin_pos.tobytes(),
+                              self.axis.tobytes(), self.prismatic.tobytes(),
+                              self.tip_rot.tobytes(), self.tip_pos.tobytes())
+            if spec.robot.frame is not None:
+                T = np.asarray(spec.robot.frame, np.float64)
+                self.frame = (T[:3, :3], T[:3, 3])
+        # keypoints: static steps; targets/precisions/dead-zones either
+        # concrete numpy constants or (when listed in ov_names) bound to
+        # [B]-lane arrays at trace time by _bind_kp.
         mask = np.asarray(spec.kp_mask) != 0
         mu = f(spec.mu)
         prec = f(spec.prec)
         pos_radius = f(spec.pos_radius)
         orn_thresh = f(spec.orn_thresh)
+        self.ov_names = tuple(ov_names)
         self.kp = []
         for k in np.nonzero(mask)[0]:
             self.kp.append({
@@ -106,9 +136,129 @@ class _Consts:
         self.kp_steps = tuple(d["k"] for d in self.kp)
 
 
+class _Consts:
+    """Concrete (numpy) problem constants, folded into the trace."""
+
+    def __init__(self, spec: Spec, ov_names=()):
+        if not fleet_supported(spec):
+            raise ValueError(
+                f"fleet solver scope: posorn/joint/point nb_deriv 1-2, "
+                f"posorn_time/joint_time nb_deriv 1, sequential thereof; "
+                f"got kind={spec.kind!r} nb_deriv={spec.nb_deriv}")
+        ov_names = tuple(ov_names)
+        bad = set(ov_names) - set(FLEET_OVERRIDES)
+        if bad:
+            raise ValueError(f"unsupported fleet overrides: {sorted(bad)}")
+        if ov_names and spec.kind == "sequential":
+            raise ValueError("fleet overrides not supported for sequential specs")
+        self.kind = spec.kind
+        self.n = spec.nx
+        self.m = spec.nu
+        self.dof = spec.dof
+        self.nb_deriv = spec.nb_deriv
+        self.time = bool(spec.time_optimal)
+        self.H = spec.horizon
+        self.np_dtype = np.dtype(jnp.dtype(spec.x0.dtype).name)
+        f = lambda a: np.asarray(a, self.np_dtype)
+        self.dt = None if self.time else float(f(spec.dt))
+        # Top-level Rt drives the solver's cost_u/cost_uu (System.cpp:274-284);
+        # per-sub Rt enters the cost VALUE at that sub's keypoint steps.
+        self.Rt = [float(v) for v in f(spec.Rt)]
+        subs = spec.subs if spec.kind == "sequential" else (spec,)
+        self.subs = [_SubC(s, self.np_dtype, ov_names) for s in subs]
+        self.ov_names = ov_names
+        # unique chains (the world FK walk is shared across subs on the
+        # same chain; frames differ per sub)
+        self.chain_of = []
+        keys = {}
+        for sc in self.subs:
+            if sc.chain_key is None:
+                self.chain_of.append(None)
+            else:
+                self.chain_of.append(keys.setdefault(sc.chain_key, sc))
+        steps = sorted({k for sc in self.subs for k in sc.kp_steps})
+        self.kp_steps = tuple(steps)
+        self.kp_at = {k: [(i, d) for i, sc in enumerate(self.subs)
+                          for d in sc.kp if d["k"] == k] for k in steps}
+        self.any_limits = any(sc.limits_set for sc in self.subs)
+
+
 # ---------------------------------------------------------------------------
-# lane-major micro-algebra: nested lists of [B] vectors, unrolled at trace
+# lane-major micro-algebra: nested lists whose entries are either Python
+# floats (trace-time constants, folded eagerly) or [B] vectors. Exact-zero /
+# exact-one constants short-circuit, so structured matrices (integrator A/B,
+# diagonal precisions, block-diagonal Jacobians) cost only their nonzeros.
 # ---------------------------------------------------------------------------
+
+def _c(v):
+    """True when v is a host scalar constant."""
+    return isinstance(v, (float, int, np.floating, np.integer))
+
+
+def _mul(a, b):
+    if _c(a):
+        a = float(a)
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+        if _c(b):
+            return a * float(b)
+    if _c(b):
+        b = float(b)
+        if b == 0.0:
+            return 0.0
+        if b == 1.0:
+            return a
+    return a * b
+
+
+def _add(a, b):
+    if _c(a) and float(a) == 0.0:
+        return b
+    if _c(b) and float(b) == 0.0:
+        return a
+    if _c(a) and _c(b):
+        return float(a) + float(b)
+    return a + b
+
+
+def _sub_(a, b):
+    if _c(b) and float(b) == 0.0:
+        return a
+    if _c(a) and _c(b):
+        return float(a) - float(b)
+    return a - b
+
+
+def _dot(u, v):
+    acc = 0.0
+    for a, b in zip(u, v):
+        acc = _add(acc, _mul(a, b))
+    return acc
+
+
+def _mv(M, v):
+    """M [r][k] @ v [k] -> [r]."""
+    return [_dot(row, v) for row in M]
+
+
+def _mm(A, B):
+    """A [r][k] @ B [k][m] -> [r][m]."""
+    k = len(B)
+    m = len(B[0])
+    return [[_dot(row, [B[s][j] for s in range(k)]) for j in range(m)]
+            for row in A]
+
+
+def _tr(M):
+    return [[M[i][j] for i in range(len(M))] for j in range(len(M[0]))]
+
+
+def _np_rows(C):
+    """numpy [r, k] -> nested float lists (constants)."""
+    return [[float(v) for v in row] for row in np.asarray(C)]
+
 
 def _rows(arr):
     """[n, B] array -> list of n [B] slices."""
@@ -120,23 +270,18 @@ def _mat(arr):
     return [[arr[i, j] for j in range(arr.shape[1])] for i in range(arr.shape[0])]
 
 
-def _const_mm(A, C):
-    """A (lists of [B]) @ C (numpy const), skipping exact-zero constants."""
-    n, k, m = len(A), len(A[0]), C.shape[1]
-    out = []
-    for i in range(n):
-        row = []
-        for j in range(m):
-            acc = None
-            for s in range(k):
-                c = float(C[s, j])
-                if c == 0.0:
-                    continue
-                term = A[i][s] * c if c != 1.0 else A[i][s]
-                acc = term if acc is None else acc + term
-            row.append(0.0 if acc is None else acc)
-        out.append(row)
-    return out
+def _to_arr(M):
+    return jnp.stack([jnp.stack(row) for row in M])
+
+
+def _full(v, like):
+    """Materialize a possibly-constant entry as a [B] array."""
+    return jnp.broadcast_to(jnp.asarray(v, like.dtype), like.shape) if _c(v) else v
+
+
+def _bfull(v, like):
+    """Materialize a possibly-constant BOOLEAN as a [B] bool array."""
+    return jnp.broadcast_to(jnp.asarray(bool(v)), like.shape) if _c(v) else v
 
 
 def _solve_aug(M, Rhs):
@@ -150,79 +295,199 @@ def _solve_aug(M, Rhs):
     X = [row[:] for row in Rhs]
     for k in range(n):
         piv = 1.0 / A[k][k]
-        A[k] = [a * piv for a in A[k]]
-        X[k] = [a * piv for a in X[k]]
+        A[k] = [_mul(a, piv) for a in A[k]]
+        X[k] = [_mul(a, piv) for a in X[k]]
         for r in range(n):
             if r == k:
                 continue
             fac = A[r][k]
-            A[r] = [a - fac * b for a, b in zip(A[r], A[k])]
-            X[r] = [a - fac * b for a, b in zip(X[r], X[k])]
+            A[r] = [_sub_(a, _mul(fac, b)) for a, b in zip(A[r], A[k])]
+            X[r] = [_sub_(a, _mul(fac, b)) for a, b in zip(X[r], X[k])]
     return X
 
 
 # ---------------------------------------------------------------------------
-# FK + geometric Jacobian, lane-major (chain_fk/chain_jacobian re-expressed)
+# S^3 ops, lane-major (ops/sd.py re-expressed entrywise; sd.h:19-99)
 # ---------------------------------------------------------------------------
 
-def _fk_soa(cc: _Consts, q, want_jac: bool):
-    """Chain FK over lanes: q = list of dof [B] vectors.
+def _q_norm(q):
+    return jnp.sqrt(sum(_mul(v, v) for v in q))
 
-    Returns (p_ee [3 lists], quat [4 lists], J [6 x dof lists or None]) —
-    the joint walk of models/chain.py:_frames with all 3x3 algebra unrolled.
-    """
+
+def _q_unit(q):
+    """to_unit_norm with the zero guard (sd.h:19-21)."""
+    if all(_c(v) for v in q):
+        arr = np.asarray([float(v) for v in q], np.float64)
+        n = np.linalg.norm(arr)
+        return [float(v) for v in (arr / (n if n > 0 else 1.0))]
+    n = _q_norm(q)
+    safe = jnp.where(n > 0, n, 1.0)
+    return [v / safe for v in q]
+
+
+def _q_is_zero(q):
+    """Exact all-zero test (sd.h isZero guard); Python bool for all-const
+    input, [B] bool array otherwise (const-nonzero entries short-circuit)."""
+    if all(_c(v) for v in q):
+        return all(float(v) == 0.0 for v in q)
+    if any(_c(v) and float(v) != 0.0 for v in q):
+        return False
+    traced = [v for v in q if not _c(v)]
+    z = traced[0] == 0
+    for v in traced[1:]:
+        z = z & (v == 0)
+    return z
+
+
+def _q_distance(n1, n2):
+    """Geodesic distance w/ hemisphere flip on already-given entries
+    (RAW dot, clamp, -pi shift when negative; sd.h:48-62)."""
+    dot = _dot(n1, n2)
+    dclip = jnp.clip(dot, -1.0, 1.0) if not _c(dot) else min(max(dot, -1.0), 1.0)
+    if _c(dclip):
+        ac = float(np.arccos(dclip))
+        return ac - float(np.pi) if dclip < 0 else ac
+    ac = jnp.arccos(dclip)
+    return jnp.where(dclip < 0, ac - np.pi, ac)
+
+
+def _q_log_map(base, y):
+    """log_map(base, y) with the sd.h:67-82 guards, entrywise."""
+    b = _q_unit(base)
+    yn = _q_unit(y)
+    dot = _dot(b, yn)
+    temp = [_sub_(yn[j], _mul(dot, b[j])) for j in range(len(b))]
+    tn = _q_norm(temp)
+    dist = _q_distance(b, yn)
+    tsafe = jnp.where(tn > 0, tn, 1.0)
+    out = [jnp.where(tn == 0, 0.0, _mul(dist, temp[j]) / tsafe)
+           for j in range(len(b))]
+    zb = _q_is_zero(base)
+    zy = _q_is_zero(y)
+    if _c(zb) and _c(zy):
+        if zb or zy:
+            return [0.0] * len(b)
+        return out
+    degen = _bfull(zb, tn) | _bfull(zy, tn)
+    return [jnp.where(degen, 0.0, v) for v in out]
+
+
+def _q_transport(v, b1, b2):
+    """Parallel transport of tangent v from b1 to b2 (sd.h:87-99):
+    d2 = distance(b1,b2)^2 on the RAW entries, guards reproduced."""
+    d = _q_distance(b1, b2)
+    d2 = _mul(d, d)
+    l12 = _q_log_map(b1, b2)
+    l21 = _q_log_map(b2, b1)
+    coef = _dot(l12, v) / jnp.where(d2 > 0, d2, 1.0)
+    out = [_sub_(v[j], _mul(coef, _add(l12[j], l21[j]))) for j in range(len(v))]
+    out = [jnp.where(d2 == 0, _full(v[j], d2), out[j]) for j in range(len(v))]
+    zb = _q_is_zero(b1)
+    zy = _q_is_zero(b2)
+    if _c(zb) and _c(zy) and not (zb or zy):
+        return out
+    degen = _bfull(zb, d2) | _bfull(zy, d2)
+    return [jnp.where(degen, _full(v[j], d2), out[j]) for j in range(len(v))]
+
+
+def _dquat_jac(qt):
+    """E(q) rows (sd.h:23-27) from const-or-lane entries, w-first."""
+    w, x, y, z = qt
+    neg = lambda a: -float(a) if _c(a) else -a
+    return [[neg(x), w, neg(z), y],
+            [neg(y), z, w, neg(x)],
+            [neg(z), neg(y), x, w]]
+
+
+def _quat_rate(quat, w3):
+    """0.5 E(q)^T w (SimulationInterface.cpp:69-73), lane-major."""
+    E = _dquat_jac(quat)
+    return [_mul(0.5, _dot([E[r][c] for r in range(3)], w3)) for c in range(4)]
+
+
+# ---------------------------------------------------------------------------
+# FK + geometric Jacobian, lane-major (models/chain.py re-expressed), with
+# the world walk shared across subsystems and object frames applied as
+# constant rotations (TransformedSimulationInterface.cpp:53-103)
+# ---------------------------------------------------------------------------
+
+def _fk_walk(ch: "_SubC", q):
+    """World chain walk: q = list of dof [B]. Returns (p [3], R [3][3],
+    zs [nj][3], os [nj][3]) — models/chain.py:_frames unrolled."""
     nj = len(q)
     R = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
     p = [0.0, 0.0, 0.0]
     zs, os_ = [], []
     for i in range(nj):
-        opos = cc.origin_pos[i]
-        p = [p[j] + sum(R[j][s] * float(opos[s]) for s in range(3)
-                        if float(opos[s]) != 0.0) for j in range(3)]
-        R = _const_mm(R, cc.origin_rot[i])
-        a = cc.axis[i]
-        z = [sum(R[j][s] * float(a[s]) for s in range(3) if float(a[s]) != 0.0)
-             for j in range(3)]
-        if cc.prismatic[i]:
-            p = [p[j] + z[j] * q[i] for j in range(3)]
+        opos = ch.origin_pos[i]
+        p = [_add(p[j], _dot(R[j], [float(v) for v in opos])) for j in range(3)]
+        R = _mm(R, _np_rows(ch.origin_rot[i]))
+        a = ch.axis[i]
+        z = [_dot(R[j], [float(v) for v in a]) for j in range(3)]
+        if ch.prismatic[i]:
+            p = [_add(p[j], _mul(z[j], q[i])) for j in range(3)]
         else:
             ax, ay, az = (float(v) for v in a)
-            K = np.array([[0.0, -az, ay], [az, 0.0, -ax], [-ay, ax, 0.0]],
-                         cc.np_dtype)
-            K2 = (K @ K).astype(cc.np_dtype)
+            K = np.array([[0.0, -az, ay], [az, 0.0, -ax], [-ay, ax, 0.0]])
+            K2 = K @ K
             s_, c_ = jnp.sin(q[i]), jnp.cos(q[i])
             omc = 1.0 - c_
-            Raa = [[(1.0 if j == m else 0.0)
-                    + (s_ * float(K[j, m]) if float(K[j, m]) != 0.0 else 0.0)
-                    + (omc * float(K2[j, m]) if float(K2[j, m]) != 0.0 else 0.0)
-                    for m in range(3)] for j in range(3)]
-            R = [[sum(R[j][s] * Raa[s][m] for s in range(3)) for m in range(3)]
-                 for j in range(3)]
+            Raa = [[_add(_add(1.0 if j == m else 0.0,
+                              _mul(s_, float(K[j, m]))),
+                    _mul(omc, float(K2[j, m]))) for m in range(3)]
+                   for j in range(3)]
+            R = _mm(R, Raa)
         zs.append(z)
         os_.append(list(p))
-    p_ee = [p[j] + sum(R[j][s] * float(cc.tip_pos[s]) for s in range(3)
-                       if float(cc.tip_pos[s]) != 0.0) for j in range(3)]
-    R_ee = _const_mm(R, cc.tip_rot)
-    quat = _mat_to_quat_soa(R_ee)
-    if not want_jac:
-        return p_ee, quat, None
-    # Geometric Jacobian columns (chain.py:chain_jacobian)
-    J = [[None] * nj for _ in range(6)]
+    return p, R, zs, os_
+
+
+def _walk_tip(ch: "_SubC", p, R):
+    """Apply the fixed tip transform: world EE pose."""
+    p_ee = [_add(p[j], _dot(R[j], [float(v) for v in ch.tip_pos]))
+            for j in range(3)]
+    R_ee = _mm(R, _np_rows(ch.tip_rot))
+    return p_ee, R_ee
+
+
+def _walk_jac(ch: "_SubC", zs, os_, p_ee):
+    """World geometric Jacobian 6 x dof from the walk (chain_jacobian)."""
+    nj = len(zs)
+    J = [[0.0] * nj for _ in range(6)]
     for i in range(nj):
         z, o = zs[i], os_[i]
-        if cc.prismatic[i]:
+        if ch.prismatic[i]:
             jv = z
             jw = [0.0, 0.0, 0.0]
         else:
-            d = [p_ee[j] - o[j] for j in range(3)]
-            jv = [z[1] * d[2] - z[2] * d[1],
-                  z[2] * d[0] - z[0] * d[2],
-                  z[0] * d[1] - z[1] * d[0]]
+            d = [_sub_(p_ee[j], o[j]) for j in range(3)]
+            jv = [_sub_(_mul(z[1], d[2]), _mul(z[2], d[1])),
+                  _sub_(_mul(z[2], d[0]), _mul(z[0], d[2])),
+                  _sub_(_mul(z[0], d[1]), _mul(z[1], d[0]))]
             jw = z
         for r in range(3):
             J[r][i] = jv[r]
             J[3 + r][i] = jw[r]
-    return p_ee, quat, J
+    return J
+
+
+def _apply_frame(fr, p, R):
+    """p' = Rf^T (p - pf), R' = Rf^T R (cpp:67-69, 94-103)."""
+    Rf, pf = fr
+    d = [_sub_(p[j], float(pf[j])) for j in range(3)]
+    p2 = [_dot([float(Rf[j][i]) for j in range(3)], d) for i in range(3)]
+    R2 = _mm(_np_rows(Rf.T), R)
+    return p2, R2
+
+
+def _frame_jac(fr, J):
+    """J' = blockdiag(Rf^T, Rf^T) J (cpp:53-58)."""
+    Rf, _ = fr
+    RfT = _np_rows(Rf.T)
+    nj = len(J[0])
+    top = _mm(RfT, [J[r] for r in range(3)])
+    bot = _mm(RfT, [J[r] for r in range(3, 6)])
+    return top + bot
 
 
 def _mat_to_quat_soa(R):
@@ -256,193 +521,261 @@ def _mat_to_quat_soa(R):
     return [v / nrm for v in q]
 
 
+def _fk_subs(cc: "_Consts", x, want_jac, want_vel):
+    """Per-sub framed kinematics at state x (list of n [B] lanes).
+
+    One world walk per unique chain; each sub applies its constant frame.
+    Returns a list aligned with cc.subs: None for joint kinds, else a dict
+    with p, quat, J6 (when want_jac), dp, w, dquat (when want_vel).
+    """
+    dof = cc.dof
+    q = x[:dof]
+    dq = x[dof:2 * dof] if cc.nb_deriv == 2 else None
+    walks = {}
+    out = []
+    for sc, rep in zip(cc.subs, cc.chain_of):
+        if rep is None:
+            out.append(None)
+            continue
+        key = sc.chain_key
+        if key not in walks:
+            p, R, zs, os_ = _fk_walk(rep, q)
+            p_ee, R_ee = _walk_tip(rep, p, R)
+            Jw = _walk_jac(rep, zs, os_, p_ee) if want_jac or want_vel else None
+            walks[key] = (p_ee, R_ee, Jw)
+        p_ee, R_ee, Jw = walks[key]
+        if sc.frame is not None:
+            p_s, R_s = _apply_frame(sc.frame, p_ee, R_ee)
+            J_s = _frame_jac(sc.frame, Jw) if Jw is not None else None
+        else:
+            p_s, R_s, J_s = p_ee, R_ee, Jw
+        d = {"p": p_s, "J6": J_s}
+        if sc.kind.startswith("posorn"):
+            d["quat"] = _mat_to_quat_soa(R_s)
+        if want_vel:
+            d["dp"] = [_dot(J_s[r], dq) for r in range(3)]
+            w = [_dot(J_s[3 + r], dq) for r in range(3)]
+            d["w"] = w
+            if sc.kind.startswith("posorn"):
+                d["dquat"] = _quat_rate(d["quat"], w)
+        out.append(d)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # keypoint residuals + Gauss-Newton terms at one static step
 # ---------------------------------------------------------------------------
 
-def _dquat_jac_np(qt):
-    w, x, y, z = (float(v) for v in qt)
-    return np.array([[-x, w, -z, y], [-y, z, w, -x], [-z, -y, x, w]])
+def _bind_kp(sc: "_SubC", kp: dict, ov: dict) -> dict:
+    """Rebind a keypoint's target/precision/dead-zone constants to [B]-lane
+    arrays from trace-time override arrays (mu [H, nt, B], prec
+    [H, nq, nq, B], pos_radius [H, B], orn_thresh [H, 3, B])."""
+    if not sc.ov_names:
+        return kp
+    k = kp["k"]
+    out = dict(kp)
+    if "mu" in ov:
+        out["mu"] = [ov["mu"][k, a] for a in range(sc.nt)]
+    if "prec" in ov:
+        out["prec"] = [[ov["prec"][k, a, b] for b in range(sc.nq)]
+                       for a in range(sc.nq)]
+    if "pos_radius" in ov:
+        out["radius"] = ov["pos_radius"][k]
+    if "orn_thresh" in ov:
+        out["thresh"] = [ov["orn_thresh"][k, j] for j in range(3)]
+    return out
 
 
-def _posorn_residual_soa(kp, p, quat):
+def _posorn_residual_soa(sc: "_SubC", kp: dict, fkd: dict):
     """PosOrnKeypoint::diff (PosOrnKeypoint.cpp:24-45) over lanes:
-    r_p = p* - p, r_o = -2 E(q*) logMap(q*, q), with the reference's
-    dead-zone shrinkage when radius/thresholds are nonzero
-    (PosOrnKeypointDistFunct.cpp:13-35)."""
+    r_p = p* - p, r_o = -2 E(q*) logMap(q*, q); second order appends
+    dp* - dp and -2 E(q*)(dq* - transport(dquat, quat, q*)) (cpp:34-41);
+    dead-zone shrinkage on the position/orientation rows only when
+    radius/thresholds are nonzero (PosOrnKeypointDistFunct.cpp:13-35)."""
     mu = kp["mu"]
-    c = len(p)
-    p_t = [float(v) for v in mu[:c]]
-    q_t = np.asarray(mu[c:c + 4], np.float64)
-    r_p = [p_t[j] - p[j] for j in range(c)]
-
-    # logMap(q_t, quat) with the sd.h guards (sd.h:48-82)
-    qt_n = q_t / np.linalg.norm(q_t)
-    ynrm = jnp.sqrt(sum(v * v for v in quat))
-    ysafe = jnp.where(ynrm > 0, ynrm, 1.0)
-    yn = [v / ysafe for v in quat]
-    dot = sum(yn[j] * float(qt_n[j]) for j in range(4))
-    temp = [yn[j] - dot * float(qt_n[j]) for j in range(4)]
-    tn = jnp.sqrt(sum(v * v for v in temp))
-    dclip = jnp.clip(dot, -1.0, 1.0)
-    ac = jnp.arccos(dclip)
-    dist = jnp.where(dclip < 0, ac - np.pi, ac)
-    tsafe = jnp.where(tn > 0, tn, 1.0)
-    lm = [jnp.where(tn == 0, 0.0, dist * temp[j] / tsafe) for j in range(4)]
-    yzero = (quat[0] == 0) & (quat[1] == 0) & (quat[2] == 0) & (quat[3] == 0)
-    lm = [jnp.where(yzero, 0.0, v) for v in lm]
+    c = sc.car_dim
+    p, quat = fkd["p"], fkd["quat"]
+    p_t = [mu[j] for j in range(c)]
+    q_t = [mu[c + j] for j in range(4)]
+    r_p = [_sub_(p_t[j], p[j]) for j in range(c)]
     # E(q*) uses the RAW target quaternion (funcs._posorn_residual builds it
     # from mu directly, before any normalization).
-    E = _dquat_jac_np(q_t)
-    r_o = [-2.0 * sum(float(E[j, s]) * lm[s] for s in range(4)
-                      if float(E[j, s]) != 0.0) for j in range(3)]
+    E = _dquat_jac(q_t)
+    lm = _q_log_map(q_t, quat)
+    r_o = [_mul(-2.0, _dot(E[j], lm)) for j in range(3)]
 
-    if kp["radius"] != 0.0:
-        nrm = jnp.sqrt(sum(v * v for v in r_p))
+    radius = kp["radius"]
+    if not (_c(radius) and float(radius) == 0.0):
+        nrm = jnp.sqrt(sum(_mul(v, v) for v in r_p))
         safe = jnp.where(nrm == 0, 1.0, nrm)
-        r_p = [jnp.where(nrm <= kp["radius"],
-                         0.0, v / safe * (nrm - kp["radius"])) for v in r_p]
-    if any(t != 0.0 for t in kp["thresh"]):
+        r_p = [jnp.where(nrm <= radius, 0.0, v / safe * (nrm - radius))
+               for v in r_p]
+    th = kp["thresh"]
+    if not all(_c(t) and float(t) == 0.0 for t in th):
         r_o = [jnp.where(jnp.abs(v) <= t, 0.0, v - jnp.sign(v) * t)
-               for v, t in zip(r_o, kp["thresh"])]
-    return r_p + r_o
+               for v, t in zip(r_o, th)]
+
+    parts = r_p + r_o
+    if sc.nb_deriv == 2:
+        dp_t = [mu[c + 4 + j] for j in range(c)]
+        dq_t = [mu[2 * c + 4 + j] for j in range(4)]
+        dp, dquat = fkd["dp"], fkd["dquat"]
+        r_dp = [_sub_(dp_t[j], dp[j]) for j in range(c)]
+        tv = _q_transport(dquat, quat, q_t)
+        diff = [_sub_(dq_t[j], tv[j]) for j in range(4)]
+        r_do = [_mul(-2.0, _dot(E[j], diff)) for j in range(3)]
+        parts = parts + r_dp + r_do
+    return parts
 
 
-def _kp_terms(cc: _Consts, kp, x, want_grads: bool):
-    """(cost, gx, Gxx) of the keypoint at its step: cost = e^T P e,
-    gx = J^T P e, Gxx = J^T P J (System.cpp:213-311), lane-major.
-    gx/Gxx are None when want_grads is False.
-
-    For the time-optimal kinds the residual gains a trailing time component
-    t* - t whose Jacobian row is a single 1 at the time column
-    (SpacetimeKeypoint.cpp:12-24, PosOrnTimePlannerSys.cpp:92-96)."""
-    n, dof = cc.n, cc.dof
-    P = np.asarray(kp["prec"], np.float64)
-    nq = P.shape[0]
-
-    if cc.kind in ("joint", "joint_time"):
-        fx = x
-        e = [float(kp["mu"][a]) - x[a] for a in range(n)]
-        J = None  # identity (incl. the time row for joint_time)
-    else:
-        p, quat, J = _fk_soa(cc, x[:dof],
-                             want_jac=want_grads or cc.kind == "point")
-        if cc.kind == "point":
-            fx = p
-            e = [float(kp["mu"][a]) - p[a] for a in range(cc.car_dim)]
-            J = J[:cc.car_dim] if J is not None else None
-        else:
-            fx = p + quat
-            e = _posorn_residual_soa(kp, p, quat)
-            # posorn J: 6 geometric rows pair with [r_p, r_o]
-        if cc.time:
+def _kp_residual(cc: "_Consts", sc: "_SubC", kp: dict, fkd, x):
+    """(e [nq], fx [nt]) of one keypoint at its step (funcs.residual)."""
+    n = sc.n
+    if sc.kind in ("joint", "joint_time"):
+        fx = list(x[:n])
+        e = [_sub_(kp["mu"][a], x[a]) for a in range(n)]
+    elif sc.kind == "point":
+        fx = list(fkd["p"][:sc.car_dim])
+        if sc.nb_deriv == 2:
+            fx = fx + list(fkd["dp"][:sc.car_dim])
+        e = [_sub_(kp["mu"][a], fx[a]) for a in range(len(fx))]
+    else:  # posorn / posorn_time
+        fx = fkd["p"] + fkd["quat"]
+        if sc.nb_deriv == 2:
+            fx = fx + fkd["dp"] + fkd["dquat"]
+        e = _posorn_residual_soa(sc, kp, fkd)
+        if sc.time:
             fx = fx + [x[n - 1]]
-            e = e + [float(kp["mu"][-1]) - x[n - 1]]
+            e = e + [_sub_(kp["mu"][sc.nt - 1], x[n - 1])]
 
     # zero-state guard (PosOrnKeypoint.cpp:29 via funcs.residual)
-    zero_state = fx[0] == 0
-    for v in fx[1:]:
-        zero_state = zero_state & (v == 0)
+    zero_state = None
+    for v in fx:
+        t = (v == 0)
+        zero_state = t if zero_state is None else zero_state & t
     e = [jnp.where(zero_state, 0.0, v) for v in e]
+    return e, fx
 
-    # v = P e (skip structural zeros of the concrete precision)
-    nz = [(a, s, float(P[a, s])) for a in range(nq) for s in range(nq)
-          if float(P[a, s]) != 0.0]
-    v = [None] * nq
-    for a, s, c in nz:
-        term = c * e[s]
-        v[a] = term if v[a] is None else v[a] + term
-    v = [jnp.zeros_like(e[0]) if t is None else t for t in v]
-    cost = sum(e[a] * v[a] for a in range(nq))
 
-    if not want_grads:
-        return cost, None, None
-
-    if cc.kind in ("joint", "joint_time"):
-        # J = I: gx = P e; Gxx = P (constant, folds into the trace)
-        Gxx = [[float(P[i, j]) for j in range(n)] for i in range(n)]
-        return cost, v, Gxx
-
-    # Geometric rows: gx_i = sum_a J[a][i] v_a over the FK columns; the
-    # time row/col (posorn_time) contributes v[nq-1] at the time column.
-    ng = nq - 1 if cc.time else nq  # geometric residual rows
-    gx = [sum(J[a][i] * v[a] for a in range(ng)) for i in range(dof)]
-    gx += [jnp.zeros_like(x[0])] * (n - dof)
-    PJ = [[None] * n for _ in range(nq)]
-    for a, s, c in nz:
-        if s < ng:
+def _kp_jac(cc: "_Consts", sc: "_SubC", fkd):
+    """Dense [nq, n] residual-row Jacobian with block structure as exact
+    zeros (folded by the zero-skipping algebra): geometric rows per
+    derivative block (PosOrnPlannerSys.cpp:80-102), identity for joint
+    kinds (JointSpacePlannerSys.cpp:77-81), unit time row/col
+    (PosOrnTimePlannerSys.cpp:85-112)."""
+    n, dof = cc.n, cc.dof
+    if sc.kind in ("joint", "joint_time"):
+        return [[1.0 if i == j else 0.0 for j in range(n)] for i in range(sc.nq)]
+    J6 = fkd["J6"]
+    core = 6 if sc.kind.startswith("posorn") else sc.car_dim
+    rows = []
+    for b in range(sc.nb_deriv):
+        for r in range(core):
+            row = [0.0] * n
             for j in range(dof):
-                term = c * J[s][j]
-                PJ[a][j] = term if PJ[a][j] is None else PJ[a][j] + term
-        else:  # time column of J (entry 1 at state column n-1)
-            PJ[a][n - 1] = c if PJ[a][n - 1] is None else PJ[a][n - 1] + c
-    for a in range(nq):
-        for j in range(n):
-            if PJ[a][j] is None:
-                PJ[a][j] = 0.0
-    Gxx = [[sum(J[a][i] * PJ[a][j] for a in range(ng)) for j in range(n)]
-           for i in range(dof)]
-    if cc.time:
-        gx[n - 1] = v[nq - 1]
-        Gxx += [[jnp.zeros_like(x[0])] * n for _ in range(n - dof)]
-        Gxx[n - 1] = [PJ[nq - 1][j] for j in range(n)]
+                row[b * dof + j] = J6[r][j]
+            rows.append(row)
+    if sc.time:
+        row = [0.0] * n
+        row[n - 1] = 1.0
+        rows.append(row)
+    return rows
+
+
+def _kp_terms_at(cc: "_Consts", k: int, x, want_grads: bool, ov=None):
+    """(cost, gx [n], Gxx [n][n]) summed over every subsystem keypoint at
+    step k: cost = e^T P e, gx = J^T P e, Gxx = J^T P J
+    (System.cpp:213-311; summed across subs, SequentialSystem.cpp:119-165).
+    gx/Gxx are None when want_grads is False."""
+    entries = cc.kp_at[k]
+    need_fk = any(cc.subs[i].kind not in ("joint", "joint_time")
+                  for i, _ in entries)
+    want_vel = cc.nb_deriv == 2 and need_fk
+    fkds = (_fk_subs(cc, x, want_jac=want_grads or want_vel, want_vel=want_vel)
+            if need_fk else [None] * len(cc.subs))
+    cost = 0.0
+    gx = [0.0] * cc.n if want_grads else None
+    Gxx = [[0.0] * cc.n for _ in range(cc.n)] if want_grads else None
+    for i, kp in entries:
+        sc = cc.subs[i]
+        kpb = _bind_kp(sc, kp, ov) if ov else kp
+        e, _ = _kp_residual(cc, sc, kpb, fkds[i], x)
+        P = kpb["prec"]
+        if isinstance(P, np.ndarray):
+            P = _np_rows(P)
+        v = _mv(P, e)
+        cost = _add(cost, _dot(e, v))
+        if not want_grads:
+            continue
+        Jt = _kp_jac(cc, sc, fkds[i])
+        JT = _tr(Jt)
+        gs = _mv(JT, v)
+        PJ = _mm(P, Jt)
+        Gs = _mm(JT, PJ)
+        gx = [_add(gx[j], gs[j]) for j in range(cc.n)]
+        Gxx = [[_add(Gxx[a][b], Gs[a][b]) for b in range(cc.n)]
+               for a in range(cc.n)]
     return cost, gx, Gxx
 
 
 # ---------------------------------------------------------------------------
-# joint-limit penalty, lane-major (System.cpp:121-142)
+# joint-limit penalty, lane-major (System.cpp:121-142), summed over subs
 # ---------------------------------------------------------------------------
 
-def _limit_soa(cc: _Consts, x):
+def _limit_soa(cc: "_Consts", x):
     """(cost, Lq list, L2 list) at one state; zeros when limits unset."""
     n = cc.n
-    if not cc.limits_set:
-        z = jnp.zeros_like(x[0])
-        return z, [0.0] * n, [0.0] * n
-    cost = jnp.zeros_like(x[0])
-    Lq, L2 = [], []
-    for i in range(n):
-        if cc.weight[i] == 0.0:
-            Lq.append(0.0)
-            L2.append(0.0)
+    cost = 0.0
+    Lq = [0.0] * n
+    L2 = [0.0] * n
+    for sc in cc.subs:
+        if not sc.limits_set:
             continue
-        over = x[i] > cc.smax[i]
-        under = x[i] < cc.smin[i]
-        active = over | under
-        Ld = jnp.where(active, cc.penalty, 0.0)
-        ql = jnp.where(over, cc.smax[i] - x[i],
-                       jnp.where(under, cc.smin[i] - x[i], 0.0))
-        ql = jnp.where(active, ql, 0.0)
-        cost = cost + Ld * ql * ql
-        Lq.append(Ld * ql)
-        L2.append(Ld * Ld)
+        for i in range(n):
+            if sc.weight[i] == 0.0:
+                continue
+            over = x[i] > sc.smax[i]
+            under = x[i] < sc.smin[i]
+            active = over | under
+            Ld = jnp.where(active, sc.penalty, 0.0)
+            ql = jnp.where(over, sc.smax[i] - x[i],
+                           jnp.where(under, sc.smin[i] - x[i], 0.0))
+            ql = jnp.where(active, ql, 0.0)
+            cost = _add(cost, Ld * ql * ql)
+            Lq[i] = _add(Lq[i], Ld * ql)
+            L2[i] = _add(L2[i], Ld * Ld)
     return cost, Lq, L2
 
 
-def _limit_arrays(cc: _Consts, X):
+def _limit_arrays(cc: "_Consts", X):
     """Vectorized (full-array) limit terms over [H, n, B]: (Lq, L2) arrays.
 
     Same math as _limit_soa but computed in one shot for the backward pass.
     """
-    if not cc.limits_set:
-        return jnp.zeros_like(X), jnp.zeros_like(X)
-    smax = jnp.asarray(np.asarray(cc.smax, cc.np_dtype))[None, :, None]
-    smin = jnp.asarray(np.asarray(cc.smin, cc.np_dtype))[None, :, None]
-    w = jnp.asarray(np.asarray(cc.weight, cc.np_dtype))[None, :, None]
-    over = X > smax
-    under = X < smin
-    active = (w != 0) & (over | under)
-    Ld = jnp.where(active, cc.penalty, 0.0).astype(X.dtype)
-    ql = jnp.where(over, smax - X, jnp.where(under, smin - X, 0.0))
-    ql = jnp.where(active, ql, 0.0).astype(X.dtype)
-    return Ld * ql, Ld * Ld
+    Lq = jnp.zeros_like(X)
+    L2 = jnp.zeros_like(X)
+    for sc in cc.subs:
+        if not sc.limits_set:
+            continue
+        smax = jnp.asarray(np.asarray(sc.smax, cc.np_dtype))[None, :, None]
+        smin = jnp.asarray(np.asarray(sc.smin, cc.np_dtype))[None, :, None]
+        w = jnp.asarray(np.asarray(sc.weight, cc.np_dtype))[None, :, None]
+        over = X > smax
+        under = X < smin
+        active = (w != 0) & (over | under)
+        Ld = jnp.where(active, sc.penalty, 0.0).astype(X.dtype)
+        ql = jnp.where(over, smax - X, jnp.where(under, smin - X, 0.0))
+        ql = jnp.where(active, ql, 0.0).astype(X.dtype)
+        Lq = Lq + Ld * ql
+        L2 = L2 + Ld * Ld
+    return Lq, L2
 
 
 # ---------------------------------------------------------------------------
 # rollout (FK-free scan + static keypoint costs) — _light_rollout, lane-major
 # ---------------------------------------------------------------------------
 
-def _rollout(cc: _Consts, alpha, Ks, ds, Xref, Uref, x0):
+def _rollout(cc: "_Consts", alpha, Ks, ds, Xref, Uref, x0, ov=None):
     """Closed-loop rollout u = uo + K (x - xo) + alpha d over all lanes.
 
     Ks [H-1,m,n,B], ds/Uref [H-1,m,B], Xref [H,n,B], x0 [n,B]; alpha scalar
@@ -466,6 +799,11 @@ def _rollout(cc: _Consts, alpha, Ks, ds, Xref, Uref, x0):
             dtk = s_ * s_
             x1 = ([x[i] + dtk * u[i] for i in range(dof)]
                   + [x[n - 1] + dtk])
+        elif cc.nb_deriv == 2:
+            # semi-implicit Euler (SimulationInterface.cpp:19-26)
+            x1 = ([x[i] + dt * x[dof + i] + 0.5 * dt * dt * u[i]
+                   for i in range(dof)]
+                  + [x[dof + i] + dt * u[i] for i in range(dof)])
         else:
             x1 = [x[i] + dt * u[i] for i in range(n)]
         du_acc = du_acc + jnp.sqrt(sum(v * v for v in du))
@@ -478,14 +816,17 @@ def _rollout(cc: _Consts, alpha, Ks, ds, Xref, Uref, x0):
     lim_N, _, _ = _limit_soa(cc, xH)
     cost = cost + lim_N
     X = jnp.concatenate([x0[None], Xs], axis=0)  # [H, n, B]
-    # control penalty enters the cost value only at keypoint steps
-    # (System.cpp:217-221); keypoint residual costs at the static steps.
-    for kp in cc.kp:
-        k = kp["k"]
+    # control penalty enters the cost value only at each sub's keypoint
+    # steps with that SUB's Rt (System.cpp:217-221, summed across subs
+    # SequentialSystem.cpp:119-127); keypoint residual costs at the static
+    # steps.
+    for k in cc.kp_steps:
         if k < cc.H - 1:
             uk = U[k]
-            cost = cost + sum(cc.Rt[i] * uk[i] * uk[i] for i in range(m))
-        kc, _, _ = _kp_terms(cc, kp, _rows(X[k]), want_grads=False)
+            for i_sub, _ in cc.kp_at[k]:
+                sc = cc.subs[i_sub]
+                cost = cost + sum(sc.Rt[i] * uk[i] * uk[i] for i in range(m))
+        kc, _, _ = _kp_terms_at(cc, k, _rows(X[k]), False, ov)
         cost = cost + kc
     return X, U, cost, du_acc
 
@@ -494,120 +835,165 @@ def _rollout(cc: _Consts, alpha, Ks, ds, Xref, Uref, x0):
 # backward Riccati sweep, lane-major, segmented at static keypoint steps
 # ---------------------------------------------------------------------------
 
-def _bwd_step(cc: _Consts, P, p, lxx_diag, lx, u, gxx=None):
-    """One structured backward step (A = I, B = dt I): gains + value update.
+def _neg(v):
+    return -float(v) if _c(v) else -v
 
-    lxx_diag: list n (limit L^2 diagonal); gxx: optional dense keypoint
-    Hessian term (nested lists). Reproduces ILQRRecursive.cpp:82-94 with the
-    regularized elimination for [K|d] and the UNregularized Quu in the value
-    recursion.
+
+def _q_terms(cc: "_Consts", P, p, lxx_diag, lx, u, gxx):
+    """Pre-gain Q quantities (Quu, Qux, Qu, Qxx, Qx) at one step, exploiting
+    the integrator structure per dynamics kind:
+      1st order: A = I, B = dt I (PosOrnPlannerSys.cpp:119-123);
+      2nd order: A = I + dt E (E^2 = 0), B = [dt^2/2 I; dt I]
+                 (PosOrnPlannerSys.cpp:125-130) — band algebra, no dense
+                 matmuls;
+      time-optimal 1st order: chain-rule B = [[s^2 I, 2 s dq], [0, 2 s]]
+                 (PosOrnTimePlannerSys.cpp:161-162) — one dense column.
     """
-    n = cc.n
-    dt = cc.dt
-    reg = 1e-6
-    Quu = [[dt * dt * P[i][j] + (cc.Rt[i] if i == j else 0.0)
-            for j in range(n)] for i in range(n)]
-    M = [[Quu[i][j] + (reg if i == j else 0.0) for j in range(n)]
-         for i in range(n)]
-    Qux = [[dt * P[i][j] for j in range(n)] for i in range(n)]
-    Qu = [cc.Rt[i] * u[i] + dt * p[i] for i in range(n)]
-    Qx = [lx[i] + p[i] for i in range(n)]
-    Qxx = [[P[i][j] + (lxx_diag[i] if i == j else 0.0)
-            + (gxx[i][j] if gxx is not None else 0.0)
-            for j in range(n)] for i in range(n)]
-
-    sol = _solve_aug(M, [Qux[i] + [Qu[i]] for i in range(n)])
-    K = [[-sol[i][j] for j in range(n)] for i in range(n)]
-    d = [-sol[i][n] for i in range(n)]
-
-    QuuK = [[sum(Quu[i][s] * K[s][j] for s in range(n)) for j in range(n)]
-            for i in range(n)]
-    Quud = [sum(Quu[i][s] * d[s] for s in range(n)) for i in range(n)]
-    P1 = [[Qxx[i][j]
-           + sum(K[s][i] * QuuK[s][j] for s in range(n))
-           + sum(K[s][i] * Qux[s][j] for s in range(n))
-           + sum(Qux[s][i] * K[s][j] for s in range(n))
-           for j in range(n)] for i in range(n)]
-    p1 = [Qx[i]
-          + sum(K[s][i] * Quud[s] for s in range(n))
-          + sum(K[s][i] * Qu[s] for s in range(n))
-          + sum(Qux[s][i] * d[s] for s in range(n))
-          for i in range(n)]
-    return P1, p1, K, d
-
-
-def _bwd_step_to(cc: _Consts, P, p, lxx_diag, lx, u, gxx=None):
-    """Time-optimal first-order backward step: A = I and the chain-rule
-    B = [[s^2 I, 2 s dq_cmd], [0, 2 s]] of PosOrnTimePlannerSys.cpp:161-162,
-    exploiting B's structure (one dense column) instead of dense matmuls.
-    K is [m, n] lane-major; value recursion uses the unregularized Quu."""
     n, m, dof = cc.n, cc.m, cc.dof
-    reg = 1e-6
-    s_ = u[m - 1]
-    dtk = s_ * s_
-    g = [2.0 * s_ * u[i] for i in range(dof)]  # dq_cmd chain-rule column
-    h = 2.0 * s_
+    dt = cc.dt
+    # stage Hessian: diagonal limit quadratic + optional dense keypoint term
+    stage = [[_add(lxx_diag[i] if i == j else 0.0,
+                   gxx[i][j] if gxx is not None else 0.0)
+              for j in range(n)] for i in range(n)]
+    if cc.nb_deriv != 2:
+        # A = I: Qxx = lxx + P
+        Qxx = [[_add(P[i][j], stage[i][j]) for j in range(n)]
+               for i in range(n)]
 
-    def btm(M, cols):
-        """B^T @ M for M [n, cols] nested lists."""
-        out = [[dtk * M[i][j] for j in range(cols)] for i in range(dof)]
-        out.append([sum(g[r] * M[r][j] for r in range(dof)) + h * M[n - 1][j]
-                    for j in range(cols)])
-        return out
+    if cc.time:
+        s_ = u[m - 1]
+        dtk = s_ * s_
+        g = [2.0 * s_ * u[i] for i in range(dof)]  # dq_cmd chain-rule column
+        h = 2.0 * s_
 
-    PB = [[dtk * P[i][j] for j in range(dof)]
-          + [sum(P[i][r] * g[r] for r in range(dof)) + P[i][n - 1] * h]
-          for i in range(n)]
-    Qux = btm(P, n)                       # B^T P A with A = I   [m, n]
-    Quu = btm(PB, m)                      # B^T P B              [m, m]
-    for i in range(m):
-        Quu[i][i] = Quu[i][i] + cc.Rt[i]
-    Btp = ([dtk * p[i] for i in range(dof)]
-           + [sum(g[r] * p[r] for r in range(dof)) + h * p[n - 1]])
-    Qu = [cc.Rt[i] * u[i] + Btp[i] for i in range(m)]
-    Qx = [lx[i] + p[i] for i in range(n)]
-    Qxx = [[P[i][j] + (lxx_diag[i] if i == j else 0.0)
-            + (gxx[i][j] if gxx is not None else 0.0)
+        def btm(M, cols):
+            """B^T @ M for M [n][cols]."""
+            out = [[_mul(dtk, M[i][j]) for j in range(cols)]
+                   for i in range(dof)]
+            out.append([_add(_dot(g, [M[r][j] for r in range(dof)]),
+                             _mul(h, M[n - 1][j])) for j in range(cols)])
+            return out
+
+        PB = [[_mul(dtk, P[i][j]) for j in range(dof)]
+              + [_add(_dot([P[i][r] for r in range(dof)], g),
+                      _mul(P[i][n - 1], h))]
+              for i in range(n)]
+        Qux = btm(P, n)                       # B^T P A with A = I   [m, n]
+        Quu = btm(PB, m)                      # B^T P B              [m, m]
+        for i in range(m):
+            Quu[i][i] = _add(Quu[i][i], cc.Rt[i])
+        Btp = ([_mul(dtk, p[i]) for i in range(dof)]
+               + [_add(_dot(g, p[:dof]), _mul(h, p[n - 1]))])
+        Qu = [_add(_mul(cc.Rt[i], u[i]), Btp[i]) for i in range(m)]
+        Qx = [_add(lx[i], p[i]) for i in range(n)]
+        return Quu, Qux, Qu, Qxx, Qx
+
+    if cc.nb_deriv == 2:
+        b1, b2 = 0.5 * dt * dt, dt
+        # PA: add dt * (q-columns) into the dq-columns (A = I + dt E)
+        PA = [[P[i][j] if j < dof else _add(P[i][j], _mul(dt, P[i][j - dof]))
+               for j in range(n)] for i in range(n)]
+        Qux = [[_add(_mul(b1, PA[i][j]), _mul(b2, PA[i + dof][j]))
+                for j in range(n)] for i in range(m)]
+        PB = [[_add(_mul(b1, P[i][j]), _mul(b2, P[i][j + dof]))
+               for j in range(m)] for i in range(n)]
+        Quu = [[_add(_add(_mul(b1, PB[i][j]), _mul(b2, PB[i + dof][j])),
+                     cc.Rt[i] if i == j else 0.0)
+                for j in range(m)] for i in range(m)]
+        Qu = [_add(_mul(cc.Rt[i], u[i]),
+                   _add(_mul(b1, p[i]), _mul(b2, p[i + dof])))
+              for i in range(m)]
+        Qx = [_add(lx[j],
+                   p[j] if j < dof else _add(p[j], _mul(dt, p[j - dof])))
+              for j in range(n)]
+        # A^T (PA): add dt * (q-rows of PA) into the dq-rows
+        Qxx = [[_add(stage[i][j],
+                     PA[i][j] if i < dof
+                     else _add(PA[i][j], _mul(dt, PA[i - dof][j])))
+                for j in range(n)] for i in range(n)]
+        return Quu, Qux, Qu, Qxx, Qx
+
+    # first order: A = I, B = dt I, m == n
+    Quu = [[_add(_mul(dt * dt, P[i][j]), cc.Rt[i] if i == j else 0.0)
             for j in range(n)] for i in range(n)]
+    Qux = [[_mul(dt, P[i][j]) for j in range(n)] for i in range(n)]
+    Qu = [_add(_mul(cc.Rt[i], u[i]), _mul(dt, p[i])) for i in range(n)]
+    Qx = [_add(lx[i], p[i]) for i in range(n)]
+    return Quu, Qux, Qu, Qxx, Qx
 
-    M = [[Quu[i][j] + (reg if i == j else 0.0) for j in range(m)]
+
+def _al_terms(Quu, Qux, Qu, Qxx, Qx, cx, cu, Ik, g, lam):
+    """Add the AL constraint terms (AL-ILQR.cpp:129-134) in place:
+    cx [nc][n], cu [nc][m] (consts or traced scalars), Ik/g/lam [nc] lanes.
+    Ik carries the penalty-scaled active-set diagonal."""
+    nc = len(cx)
+    m, n = len(Quu), len(Qux[0])
+    lig = [_add(lam[c], _mul(Ik[c], g[c])) for c in range(nc)]
+    Icx = [[_mul(Ik[c], cx[c][j]) for j in range(n)] for c in range(nc)]
+    Icu = [[_mul(Ik[c], cu[c][i]) for i in range(m)] for c in range(nc)]
+    for i in range(m):
+        Qu[i] = _add(Qu[i], sum(_mul(cu[c][i], lig[c]) for c in range(nc)))
+        for j in range(n):
+            Qux[i][j] = _add(Qux[i][j],
+                             sum(_mul(cu[c][i], Icx[c][j]) for c in range(nc)))
+        for j in range(m):
+            Quu[i][j] = _add(Quu[i][j],
+                             sum(_mul(cu[c][i], Icu[c][j]) for c in range(nc)))
+    for a in range(n):
+        Qx[a] = _add(Qx[a], sum(_mul(cx[c][a], lig[c]) for c in range(nc)))
+        for b in range(n):
+            Qxx[a][b] = _add(Qxx[a][b],
+                             sum(_mul(cx[c][a], Icx[c][b]) for c in range(nc)))
+    return Quu, Qux, Qu, Qxx, Qx
+
+
+def _gains_value(Quu, Qux, Qu, Qxx, Qx):
+    """Regularized gain elimination + UNregularized value recursion
+    (ILQRRecursive.cpp:89-94)."""
+    m = len(Quu)
+    n = len(Qux[0])
+    reg = 1e-6
+    M = [[_add(Quu[i][j], reg if i == j else 0.0) for j in range(m)]
          for i in range(m)]
     sol = _solve_aug(M, [Qux[i] + [Qu[i]] for i in range(m)])
-    K = [[-sol[i][j] for j in range(n)] for i in range(m)]
-    d = [-sol[i][n] for i in range(m)]
+    K = [[_neg(sol[i][j]) for j in range(n)] for i in range(m)]
+    d = [_neg(sol[i][n]) for i in range(m)]
 
-    QuuK = [[sum(Quu[i][r] * K[r][j] for r in range(m)) for j in range(n)]
+    QuuK = [[_dot(Quu[i], [K[r][j] for r in range(m)]) for j in range(n)]
             for i in range(m)]
-    Quud = [sum(Quu[i][r] * d[r] for r in range(m)) for i in range(m)]
-    P1 = [[Qxx[i][j]
-           + sum(K[r][i] * QuuK[r][j] for r in range(m))
-           + sum(K[r][i] * Qux[r][j] for r in range(m))
-           + sum(Qux[r][i] * K[r][j] for r in range(m))
+    Quud = [_dot(Quu[i], d) for i in range(m)]
+    P1 = [[_add(_add(Qxx[i][j],
+                     _dot([K[r][i] for r in range(m)],
+                          [QuuK[r][j] for r in range(m)])),
+                _add(_dot([K[r][i] for r in range(m)],
+                          [Qux[r][j] for r in range(m)]),
+                     _dot([Qux[r][i] for r in range(m)],
+                          [K[r][j] for r in range(m)])))
            for j in range(n)] for i in range(n)]
-    p1 = [Qx[i]
-          + sum(K[r][i] * Quud[r] for r in range(m))
-          + sum(K[r][i] * Qu[r] for r in range(m))
-          + sum(Qux[r][i] * d[r] for r in range(m))
+    p1 = [_add(_add(Qx[i],
+                    _dot([K[r][i] for r in range(m)], Quud)),
+               _add(_dot([K[r][i] for r in range(m)], Qu),
+                    _dot([Qux[r][i] for r in range(m)], d)))
           for i in range(n)]
     return P1, p1, K, d
 
 
-def _backward(cc: _Consts, X, U):
+def _backward(cc: "_Consts", X, U, ov=None, al=None):
     """Full backward sweep -> (Ks [H-1,m,n,B], ds [H-1,m,B]).
 
     Limit-penalty quadratics stream as per-step DIAGONALS (they are diagonal,
     System.cpp:286-308); the dense J^T P J keypoint Hessians enter only at
     the static keypoint steps, which split the sweep into scan segments with
     an unrolled keypoint step between — no [H,n,n,B] Hessian array ever
-    exists.
+    exists. With `al` set, the constraint terms of AL-ILQR.cpp:129-134 are
+    added at every step: al = dict(cx, cu (consts when uniform, else
+    [H-1,nc,*] arrays), Is, g, lam [H-1,nc,B], uniform).
     """
-    n, H = cc.n, cc.H
+    n, m, H = cc.n, cc.m, cc.H
     B = X.shape[-1]
     dtype = X.dtype
     Lq, L2 = _limit_arrays(cc, X)  # [H, n, B]
     lx_all = -Lq
-
-    kp_by_step = {kp["k"]: kp for kp in cc.kp}
 
     # terminal value (cost at H-1 with u = 0, System.cpp:236-246)
     xN = _rows(X[H - 1])
@@ -616,26 +1002,59 @@ def _backward(cc: _Consts, X, U):
          for i in range(n)]
     p = [jnp.broadcast_to(jnp.asarray(0.0, dtype), (B,)) + lx_all[H - 1, i]
          for i in range(n)]
-    if (H - 1) in kp_by_step:
-        _, gx, gxx = _kp_terms(cc, kp_by_step[H - 1], xN, want_grads=True)
-        p = [p[i] - gx[i] for i in range(n)]
-        P = [[P[i][j] + gxx[i][j] for j in range(n)] for i in range(n)]
+    if (H - 1) in cc.kp_at:
+        _, gx, gxx = _kp_terms_at(cc, H - 1, xN, True, ov)
+        p = [p[i] - _full(gx[i], p[i]) for i in range(n)]
+        P = [[_add(P[i][j], gxx[i][j]) for j in range(n)] for i in range(n)]
 
-    step_fn = _bwd_step_to if cc.time else _bwd_step
+    def al_slice(k):
+        """(cx, cu, Ik, g, lam) nested/lane lists at one unrolled step."""
+        if al is None:
+            return None
+        cx = al["cx"] if al["uniform"] else [
+            [al["cx"][k, c, j] for j in range(n)] for c in range(al["nc"])]
+        cu = al["cu"] if al["uniform"] else [
+            [al["cu"][k, c, j] for j in range(m)] for c in range(al["nc"])]
+        return (cx, cu, _rows(al["Is"][k]), _rows(al["g"][k]),
+                _rows(al["lam"][k]))
+
+    def full_step(P, p, l2_t, lx_t, u_t, gxx=None, al_t=None):
+        Quu, Qux, Qu, Qxx, Qx = _q_terms(cc, P, p, l2_t, lx_t, u_t, gxx)
+        if al_t is not None:
+            Quu, Qux, Qu, Qxx, Qx = _al_terms(Quu, Qux, Qu, Qxx, Qx, *al_t)
+        return _gains_value(Quu, Qux, Qu, Qxx, Qx)
 
     def seg_step(carry, inp):
         P_c, p_c = carry
-        l2_t, lx_t, u_t = inp
-        P1, p1, K, d = step_fn(cc, _mat_pack(P_c, n), _rows_pack(p_c, n),
-                               _rows(l2_t), _rows(lx_t), _rows(u_t))
+        if al is None:
+            l2_t, lx_t, u_t = inp
+            al_t = None
+        else:
+            l2_t, lx_t, u_t, extra = inp
+            if al["uniform"]:
+                Is_t, g_t, lam_t = extra
+                cx_t, cu_t = al["cx"], al["cu"]
+            else:
+                cxa, cua, Is_t, g_t, lam_t = extra
+                cx_t = [[cxa[c, j] for j in range(n)] for c in range(al["nc"])]
+                cu_t = [[cua[c, j] for j in range(m)] for c in range(al["nc"])]
+            al_t = (cx_t, cu_t, _rows(Is_t), _rows(g_t), _rows(lam_t))
+        P1, p1, K, d = full_step(_mat(P_c), _rows(p_c), _rows(l2_t),
+                                 _rows(lx_t), _rows(u_t), al_t=al_t)
         return (_to_arr(P1), jnp.stack(p1)), (_to_arr(K), jnp.stack(d))
 
     def run_segment(P, p, hi, lo):
         """Scan steps t = hi-1 .. lo (reverse) with diagonal-only Hessians."""
         if hi <= lo:
             return P, p, None, None
-        carry = (_to_arr(P), jnp.stack(p))
+        carry = (_to_arr([[_full(v, X[0, 0]) for v in row] for row in P]),
+                 jnp.stack([_full(v, X[0, 0]) for v in p]))
         inputs = (L2[lo:hi], lx_all[lo:hi], U[lo:hi])
+        if al is not None:
+            extra = (al["Is"][lo:hi], al["g"][lo:hi], al["lam"][lo:hi])
+            if not al["uniform"]:
+                extra = (al["cx"][lo:hi], al["cu"][lo:hi]) + extra
+            inputs = inputs + (extra,)
         (P_a, p_a), (Ks_seg, ds_seg) = jax.lax.scan(
             seg_step, carry, inputs, reverse=True)
         return _mat(P_a), _rows(p_a), Ks_seg, ds_seg
@@ -643,20 +1062,20 @@ def _backward(cc: _Consts, X, U):
     Ks_parts, ds_parts = [], []
     t = H - 2
     # walk down through keypoint steps < H-1 (descending)
-    inner_kps = sorted((k for k in kp_by_step if k < H - 1), reverse=True)
+    inner_kps = sorted((k for k in cc.kp_at if k < H - 1), reverse=True)
     for k in inner_kps:
         P, p, Ks_seg, ds_seg = run_segment(P, p, t + 1, k + 1)
         if Ks_seg is not None:
             Ks_parts.append(Ks_seg)
             ds_parts.append(ds_seg)
         # unrolled keypoint step at t = k with the dense Hessian term
-        _, gx, gxx = _kp_terms(cc, kp_by_step[k], _rows(X[k]), want_grads=True)
-        lx_k = [lx_all[k, i] - gx[i] for i in range(n)]
-        P_n, p_n, K, d = step_fn(cc, P, p, _rows(L2[k]), lx_k, _rows(U[k]),
-                                 gxx=gxx)
-        P, p = P_n, p_n
-        Ks_parts.append(_to_arr(K)[None])
-        ds_parts.append(jnp.stack(d)[None])
+        _, gx, gxx = _kp_terms_at(cc, k, _rows(X[k]), True, ov)
+        lx_k = [lx_all[k, i] - _full(gx[i], lx_all[k, i]) for i in range(n)]
+        P, p, K, d = full_step(P, p, _rows(L2[k]), lx_k, _rows(U[k]),
+                               gxx=gxx, al_t=al_slice(k))
+        Ks_parts.append(_to_arr([[_full(v, X[0, 0]) for v in row]
+                                 for row in K])[None])
+        ds_parts.append(jnp.stack([_full(v, X[0, 0]) for v in d])[None])
         t = k - 1
     P, p, Ks_seg, ds_seg = run_segment(P, p, t + 1, 0)
     if Ks_seg is not None:
@@ -667,50 +1086,70 @@ def _backward(cc: _Consts, X, U):
     return Ks, ds
 
 
-def _to_arr(M):
-    return jnp.stack([jnp.stack(row) for row in M])
-
-
-def _mat_pack(arr, n):
-    return [[arr[i, j] for j in range(n)] for i in range(n)]
-
-
-def _rows_pack(arr, n):
-    return [arr[i] for i in range(n)]
-
-
 # ---------------------------------------------------------------------------
 # full solve: iteration scan + backtracking trial scan, all lanes masked
 # ---------------------------------------------------------------------------
 
-def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
-                      early_stop: bool = True):
-    """Build a jitted lane-major fleet solve: (x0s [B,n], U0s [B,H-1,n]) ->
-    ILQRResult with a leading scenario axis. The spec must be concrete
-    (not traced); its arrays fold into the program as constants.
-    """
-    cc = _Consts(spec)
-    n, m, H = cc.n, cc.m, cc.H
+class _FleetSolver:
+    """Callable wrapper: __call__ runs the jitted solve; `inner` is the
+    un-jitted traceable function for embedding in shard_map/pjit programs."""
+
+    def __init__(self, fn, jit_fn):
+        self.inner = fn
+        self._jit = jit_fn
+
+    def __call__(self, *args, **kw):
+        return self._jit(*args, **kw)
+
+
+def _alpha_schedule(cc, line_search):
     if line_search:
         alphas = tuple(2.0 ** -i for i in range(11))  # 1 .. 2^-10
     else:
         alphas = (1.0,)
+    return jnp.asarray(np.asarray(alphas, cc.np_dtype))
 
-    def solve(x0s, U0s):
+
+def _bind_ov(cc: "_Consts", ov_names, ov):
+    """Move the scenario axis of override arrays to the lane (minor) axis."""
+    if not ov_names:
+        return None
+    missing = [k for k in ov_names if k not in (ov or {})]
+    if missing:
+        raise ValueError(f"missing override arrays: {missing}")
+    return {k: jnp.moveaxis(jnp.asarray(ov[k]), 0, -1) for k in ov_names}
+
+
+def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
+                      early_stop: bool = True, overrides=()):
+    """Build a jitted lane-major fleet solve: (x0s [B,n], U0s [B,H-1,nu]
+    [, ov]) -> ILQRResult with a leading scenario axis. The spec must be
+    concrete (not traced); its arrays fold into the program as constants.
+
+    overrides: static tuple of Spec leaf names from FLEET_OVERRIDES that
+    vary per scenario; the solve then takes a third argument, a dict of
+    arrays with leading scenario axis (mu [B,H,nt], prec [B,H,nQ,nQ],
+    pos_radius [B,H], orn_thresh [B,H,3]).
+    """
+    cc = _Consts(spec, overrides)
+    n, m, H = cc.n, cc.m, cc.H
+    a_sched = _alpha_schedule(cc, line_search)
+    ov_names = tuple(overrides)
+
+    def solve(x0s, U0s, ov=None):
         x0 = jnp.moveaxis(jnp.asarray(x0s), 0, -1)      # [n, B]
         U0 = jnp.moveaxis(jnp.asarray(U0s), 0, -1)      # [H-1, m, B]
+        ovb = _bind_ov(cc, ov_names, ov)
         B = x0.shape[-1]
         dtype = x0.dtype
         zK = jnp.zeros((H - 1, m, n, B), dtype)
         zd = jnp.zeros((H - 1, m, B), dtype)
         zX = jnp.zeros((H, n, B), dtype)
-        X, U, cost0, _ = _rollout(cc, 0.0, zK, zd, zX, U0, x0)
-
-        a_sched = jnp.asarray(np.asarray(alphas, cc.np_dtype))
+        X, U, cost0, _ = _rollout(cc, 0.0, zK, zd, zX, U0, x0, ovb)
 
         def iter_body(carry, _):
             X, U, cost0, Ks, ds, it, done, alpha_l, du_l = carry
-            Ks_n, ds_n = _backward(cc, X, U)
+            Ks_n, ds_n = _backward(cc, X, U, ovb)
 
             # Trials run as a sequential scan over the alpha grid, each a
             # full-width lane-major rollout. (Measured on the TPU: vmapping
@@ -720,7 +1159,7 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
             # 14.4k vs 3.1k solves/s at B=4608.)
             def trial(tc, a):
                 accepted, best = tc
-                Xt, Ut, ct, dut = _rollout(cc, a, Ks_n, ds_n, X, U, x0)
+                Xt, Ut, ct, dut = _rollout(cc, a, Ks_n, ds_n, X, U, x0, ovb)
                 ok = (ct < cost0) & ~jnp.isnan(ct)
                 take = ~accepted  # first passing alpha wins; floor-out sticks
                 sel = lambda b, o: jnp.where(take, o, b)
@@ -761,20 +1200,152 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
             alpha=alpha,
         )
 
-    return jax.jit(solve)
+    return _FleetSolver(solve, jax.jit(solve))
 
 
-def _fx_traj(cc: _Consts, X):
-    """fX [B, H, nt] for the whole accepted trajectory: the horizon flattens
-    into the lane axis so the FK walk runs once over H*B lanes."""
-    H, n, dof = cc.H, cc.n, cc.dof
+def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
+                         lag_update_step: int, penalty: float,
+                         scaling_factor: float, line_search: bool = True,
+                         early_stop: bool = True):
+    """Lane-major AL-iLQR fleet: (x0s [B,n], U0s [B,H-1,nu], lam0
+    [nc] | [H-1,nc] | [B,H-1,nc]) -> ALILQRResult with a leading scenario
+    axis. Reproduces al_ilqr._solve_body_sparse per lane: plain-cost line
+    search (AL-ILQR.cpp:193-199), active sets from the accepted trajectory
+    with the pre-update lam/penalty, dual update every lag_update_step
+    iterations (cpp:202-208), early stop alpha*sqrt(sum||du||) < 1e-3
+    (cpp:225) — per-lane masked so converged scenarios freeze."""
+    cc = _Consts(spec)
+    n, m, H = cc.n, cc.m, cc.H
+    A = np.asarray(constraints.A, cc.np_dtype)   # [H-1, nc, n+m]
+    bv = np.asarray(constraints.b, cc.np_dtype)  # [H-1, nc]
+    nc = A.shape[1]
+    uniform = bool(np.all(A == A[0]) and np.all(bv == bv[0]))
+    al_static = {
+        "nc": nc,
+        "uniform": uniform,
+        "cx": ([[float(v) for v in A[0, c, :n]] for c in range(nc)]
+               if uniform else jnp.asarray(A[:, :, :n])),
+        "cu": ([[float(v) for v in A[0, c, n:]] for c in range(nc)]
+               if uniform else jnp.asarray(A[:, :, n:])),
+    }
+    A_j = jnp.asarray(A)
+    b_j = jnp.asarray(bv)
+    a_sched = _alpha_schedule(cc, line_search)
+
+    def active_sets(X, U, lam, penalty):
+        """Penalty-scaled active sets + violations over the whole horizon
+        (AL-ILQR.cpp:21-44, captured per accepted rollout cpp:189-191)."""
+        XU = jnp.concatenate([X[:-1], U], axis=1)          # [H-1, n+m, B]
+        g = jnp.einsum("kcj,kjb->kcb", A_j, XU) - b_j[:, :, None]
+        inactive = (g < 0) & (lam == 0)
+        Ik = jnp.where(inactive, 0.0, 1.0).astype(X.dtype)
+        return penalty[None, None, :] * Ik, g
+
+    def solve(x0s, U0s, lam0):
+        x0 = jnp.moveaxis(jnp.asarray(x0s), 0, -1)      # [n, B]
+        U0 = jnp.moveaxis(jnp.asarray(U0s), 0, -1)      # [H-1, m, B]
+        B = x0.shape[-1]
+        dtype = x0.dtype
+        lam = jnp.asarray(lam0, dtype)
+        if lam.ndim == 1:
+            lam = jnp.broadcast_to(lam, (H - 1,) + lam.shape)
+        if lam.ndim == 2:
+            lam = jnp.broadcast_to(lam[..., None], lam.shape + (B,))
+        else:  # [B, H-1, nc] per-scenario duals
+            lam = jnp.moveaxis(lam, 0, -1)
+        pen = jnp.full((B,), penalty, dtype)
+        scaling = jnp.asarray(scaling_factor, dtype)
+
+        zK = jnp.zeros((H - 1, m, n, B), dtype)
+        zd = jnp.zeros((H - 1, m, B), dtype)
+        zX = jnp.zeros((H, n, B), dtype)
+        X, U, cost0, _ = _rollout(cc, 0.0, zK, zd, zX, U0, x0)
+        Is0, g0 = active_sets(X, U, lam, pen)
+
+        def iter_body(carry, _):
+            X, U, Is, g, cost0, lam, pen, it, done = carry
+            al = dict(al_static, Is=Is, g=g, lam=lam)
+            Ks_n, ds_n = _backward(cc, X, U, None, al)
+
+            def trial(tc, a):
+                accepted, best = tc
+                Xt, Ut, ct, dut = _rollout(cc, a, Ks_n, ds_n, X, U, x0)
+                ok = (ct < cost0) & ~jnp.isnan(ct)
+                take = ~accepted
+                sel = lambda b, o: jnp.where(take, o, b)
+                best = (sel(best[0], Xt), sel(best[1], Ut), sel(best[2], ct),
+                        sel(best[3], dut),
+                        sel(best[4], jnp.broadcast_to(a, (B,))))
+                return (accepted | ok, best), None
+
+            dummy = (X, U, cost0, jnp.zeros((B,), dtype), jnp.ones((B,), dtype))
+            (_, picked), _ = jax.lax.scan(
+                trial, (jnp.zeros((B,), bool), dummy), a_sched)
+            Xn, Un, costn, du_acc, alpha = picked
+
+            # Active sets from the accepted trajectory with the pre-update
+            # lam/penalty — the values the accepted trial's rollout captured.
+            Isn, gn = active_sets(Xn, Un, lam, pen)
+
+            # Dual/penalty update every lag_update_step iterations.
+            do_update = ((it + 1) % lag_update_step) == 0  # [B] int lanes
+            pen_n = jnp.where(do_update, pen * scaling, pen)
+            lam_n = jnp.where(do_update[None, None, :],
+                              jnp.maximum(lam + pen_n[None, None, :] * gn, 0.0),
+                              lam)
+
+            new_done = done | (early_stop
+                               & (alpha * jnp.sqrt(du_acc) < 1e-3))
+            new = (Xn, Un, Isn, gn, costn, lam_n, pen_n, it + 1, new_done)
+            old = (X, U, Is, g, cost0, lam, pen, it, done)
+            carry = jax.tree_util.tree_map(
+                lambda o, nw: jnp.where(done, o, nw), old, new)
+            return carry, None
+
+        carry0 = (X, U, Is0, g0, cost0, lam, pen,
+                  jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool))
+        X, U, _, _, cost, lam, _, it, _ = jax.lax.scan(
+            iter_body, carry0, None, length=nb_iter)[0]
+
+        fX = _fx_traj(cc, X)
+        return ALILQRResult(
+            X=jnp.moveaxis(X, -1, 0),
+            fX=fX,
+            U=jnp.moveaxis(U, -1, 0),
+            multipliers=jnp.moveaxis(lam, -1, 0),
+            cost=cost,
+            iterations=it,
+        )
+
+    return _FleetSolver(solve, jax.jit(solve))
+
+
+def _fx_traj(cc: "_Consts", X):
+    """fX [B, H, nt_total] for the whole accepted trajectory: the horizon
+    flattens into the lane axis so each FK walk runs once over H*B lanes;
+    sequential subs concatenate (SequentialSystem.cpp:93-113)."""
+    H, n = cc.H, cc.n
     B = X.shape[-1]
-    if cc.kind in ("joint", "joint_time"):
-        return jnp.moveaxis(X, -1, 0)
-    q_flat = X[:, :dof].transpose(1, 0, 2).reshape(dof, H * B)
-    p, quat, _ = _fk_soa(cc, _rows(q_flat), want_jac=False)
-    comps = p if cc.kind == "point" else p + quat
-    if cc.time:
-        comps = comps + [X[:, n - 1].reshape(H * B)]
-    fx = jnp.stack(comps)  # [nt, H*B]
+    x_flat = [X[:, i].reshape(H * B) for i in range(n)]
+    need_fk = any(sc.kind not in ("joint", "joint_time") for sc in cc.subs)
+    want_vel = cc.nb_deriv == 2 and need_fk
+    fkds = (_fk_subs(cc, x_flat, want_jac=want_vel, want_vel=want_vel)
+            if need_fk else [None] * len(cc.subs))
+    comps = []
+    for sc, fkd in zip(cc.subs, fkds):
+        if sc.kind in ("joint", "joint_time"):
+            comps += x_flat[:sc.n]
+            continue
+        if sc.kind == "point":
+            sub = fkd["p"][:sc.car_dim]
+            if sc.nb_deriv == 2:
+                sub = sub + fkd["dp"][:sc.car_dim]
+        else:
+            sub = fkd["p"] + fkd["quat"]
+            if sc.nb_deriv == 2:
+                sub = sub + fkd["dp"] + fkd["dquat"]
+        if sc.time:
+            sub = sub + [x_flat[n - 1]]
+        comps += sub
+    fx = jnp.stack([_full(v, x_flat[0]) for v in comps])  # [nt, H*B]
     return fx.reshape(len(comps), H, B).transpose(2, 1, 0)

@@ -152,11 +152,17 @@ def test_fleet_matches_vmapped_joint(panda_robot):
 
 
 def test_fleet_rejects_unsupported(panda_robot):
+    # 2nd-order time-optimal stays out of fleet scope (vmap fallback);
+    # planar (finite-difference Jacobian) robots likewise.
     spec = _posorn_spec(panda_robot)
-    spec2 = spec.replace(nb_deriv=2)
+    spec2 = spec.replace(kind="posorn_time", nb_deriv=2)
     assert not fleet_supported(spec2)
     with pytest.raises(ValueError):
         make_fleet_solver(spec2, 5)
+    from ilqr_planner_tpu.models.planar import PlanarRobot
+    planar = Robot.from_planar(PlanarRobot(lengths=np.ones(3)))
+    spec3 = spec.replace(kind="point", robot=planar)
+    assert not fleet_supported(spec3)
 
 
 def _timeopt_spec(robot, dtype=np.float64, H=30):
@@ -226,3 +232,230 @@ def test_fleet_joint_time_exact_in_f64(panda_robot_f64):
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(fleet.fX), np.asarray(ref.fX),
                                atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# round-3 scope: 2nd order, AL-iLQR, sequential + object frames, overrides
+# ---------------------------------------------------------------------------
+
+def _posorn2_spec(robot, H=60, dtype=np.float64):
+    kps = [
+        PosOrnKeypoint(T1_POS, T1_ORN, np.diag([1, 1, 1, .1, .1, .1,
+                                                .01, .01, .01, .01, .01, .01]),
+                       H // 2 - 1, dposition=np.zeros(3),
+                       dorientation=np.zeros(4)),
+        PosOrnKeypoint(T2_POS, T2_ORN, np.diag([1, 1, 1, .1, .1, .1,
+                                                .01, .01, .01, .01, .01, .01]),
+                       H - 1, dposition=np.zeros(3), dorientation=np.zeros(4)),
+    ]
+    qmax = np.ones(7) * np.pi * 10
+    return make_spec("posorn", robot, kps, np.ones(7) * 1e-5, H, 2, dt=0.1,
+                     q0=Q0, q_max=qmax, q_min=-qmax, dtype=dtype)
+
+
+def test_fleet_2nd_order_exact_in_f64(panda_robot_f64):
+    """Double-integrator posorn (PosOrnPlannerSys.cpp:125-130): the
+    lane-major band algebra of _q_terms' nb_deriv=2 branch must match the
+    vmapped generic backward to f64 rounding, including the velocity
+    residual rows (transport, quat-rate)."""
+    H = 60
+    spec = _posorn2_spec(panda_robot_f64, H=H)
+    assert fleet_supported(spec)
+    rng = np.random.default_rng(2)
+    B = 2
+    q0s = Q0[None] + 0.05 * rng.normal(size=(B, 7))
+    x0s = np.concatenate([q0s, np.zeros((B, 7))], axis=-1)
+    U0s = np.zeros((B, H - 1, 7))
+    ref = solve_batch(spec, {"q0": q0s, "x0": x0s}, U0s, 4,
+                      early_stop=False, prefer_fleet=False)
+    fleet = make_fleet_solver(spec, 4, early_stop=False)(x0s, U0s)
+    # Tolerances: the double integrator's Riccati is ill-conditioned
+    # (Quu ~ 1e-5 + dt^4/4 P with P ~ 1e4), so f64 reduction-order noise
+    # amplifies to ~1e-8 relative; structural errors would be >1e-2.
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fleet.Ks), np.asarray(ref.Ks),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fleet.fX), np.asarray(ref.fX),
+                               atol=1e-6)
+
+
+def test_fleet_al_exact_in_f64(panda_robot_f64):
+    """AL-iLQR fleet (active sets, dual updates, plain-cost acceptance,
+    AL-ILQR.cpp:19-232) vs the vmapped AL fast path, f64 exact."""
+    from ilqr_planner_tpu.parallel import solve_batch_al
+    from ilqr_planner_tpu.solvers.al_ilqr import Constraints
+    from ilqr_planner_tpu.solvers.fleet import make_fleet_solver_al
+
+    H = 60
+    spec = _posorn_spec_h(panda_robot_f64, H)
+    nc, nx, nu = 1, 7, 7
+    A = np.zeros((nc, nx + nu))
+    A[0, 5] = 1.0  # state var 5 <= bound (POS_ORN_SYS_AL_ILQR.ipynb cell 12)
+    b = np.array([1.5])
+    cons = Constraints.uniform(A, b, H)
+    lam0 = np.zeros(nc)
+    B = 2
+    rng = np.random.default_rng(3)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(B, 7))
+    U0s = np.zeros((B, H - 1, 7))
+
+    # 6 iterations: every alpha decision is unambiguous -> f64-exact match
+    # (measured: the paths agree to ~1e-9 through iteration 7, then an
+    # alpha tie at the optimum flips and cost-flat control directions
+    # drift while costs agree to 1e-14 — same tie-breaking as
+    # test_fleet_matches_vmapped_posorn_converged).
+    ref = solve_batch_al(spec, cons, lam0, {"q0": q0s, "x0": q0s}, U0s,
+                         nb_iter=6, lag_update_step=5, penalty=0.25,
+                         scaling_factor=1.1, early_stop=False)
+    fleet = make_fleet_solver_al(spec, cons, 6, 5, 0.25, 1.1,
+                                 early_stop=False)(q0s, U0s, lam0)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(fleet.multipliers),
+                               np.asarray(ref.multipliers), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fleet.fX), np.asarray(ref.fX),
+                               atol=1e-8)
+
+    # full 12-iteration run incl. two dual updates: converged costs and
+    # multipliers coincide
+    ref12 = solve_batch_al(spec, cons, lam0, {"q0": q0s, "x0": q0s}, U0s,
+                           nb_iter=12, lag_update_step=5, penalty=0.25,
+                           scaling_factor=1.1, early_stop=False)
+    fl12 = make_fleet_solver_al(spec, cons, 12, 5, 0.25, 1.1,
+                                early_stop=False)(q0s, U0s, lam0)
+    np.testing.assert_allclose(np.asarray(fl12.cost), np.asarray(ref12.cost),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fl12.multipliers),
+                               np.asarray(ref12.multipliers), atol=1e-8)
+
+
+def _posorn_spec_h(robot, H):
+    kps = [
+        PosOrnKeypoint(T1_POS, T1_ORN, np.diag([1, 1, 1, .1, .1, .1]), H // 2 - 1),
+        PosOrnKeypoint(T2_POS, T2_ORN, np.diag([1, 1, 1, .1, .1, .1]), H - 1),
+    ]
+    qmax = np.ones(7) * np.pi * 10
+    return make_spec("posorn", robot, kps, np.ones(7) * 1e-5, H, 1, dt=0.1,
+                     q0=Q0, q_max=qmax, q_min=-qmax, dtype=np.float64)
+
+
+def test_fleet_sequential_frames_exact_in_f64(panda_robot_f64):
+    """SequentialSystem over two object frames
+    (TransformedSimulationInterface.cpp:53-103, SequentialSystem.cpp:78-165):
+    the fleet's shared-walk + constant-frame FK and summed per-sub terms
+    must match the vmapped path to f64 rounding."""
+    from ilqr_planner_tpu.ops import so3
+    from ilqr_planner_tpu.systems.spec import sequential_spec
+
+    H, dt = 60, 0.01
+    obj1 = np.eye(4)
+    obj1[:3, :3] = np.asarray(so3.quat_to_mat(np.array(
+        [0.63758403393523, 0.2994657314658187, 0.6042309402208079,
+         -0.37244039285286973])))
+    obj1[:3, 3] = [0.62, 0.05, 0.34]
+    obj2 = np.eye(4)
+    obj2[:3, :3] = np.asarray(so3.quat_to_mat(np.array(
+        [-0.03647984, 0.94060485, 0.33742794, 0.00860923])))
+    obj2[:3, 3] = [0.32, 0.05, 0.54]
+    qd = np.diag([1, 1, 1, 0, 0, 0])
+    cmd = np.ones(7) * 1e-5
+    qmax = np.ones(7) * np.pi * 10
+    sub1 = make_spec("posorn", panda_robot_f64.with_frame(obj1),
+                     [PosOrnKeypoint([0, 0, -0.15], [1, 0, 0, 0], qd, H // 2)],
+                     cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax,
+                     dtype=np.float64)
+    sub2 = make_spec("posorn", panda_robot_f64.with_frame(obj2),
+                     [PosOrnKeypoint([0.1, 0.1, -0.1], [1, 0, 0, 0], qd, H - 1)],
+                     cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax,
+                     dtype=np.float64)
+    spec = sequential_spec((sub1, sub2), cmd)
+    assert fleet_supported(spec)
+    B = 2
+    rng = np.random.default_rng(4)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(B, 7))
+    U0s = np.zeros((B, H - 1, 7))
+    ref = solve_batch(spec, {"q0": q0s, "x0": q0s}, U0s, 4,
+                      early_stop=False, prefer_fleet=False)
+    fleet = make_fleet_solver(spec, 4, early_stop=False)(q0s, U0s)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fleet.fX), np.asarray(ref.fX),
+                               atol=1e-9)
+
+
+def test_fleet_overrides_mu_prec_exact_in_f64(panda_robot_f64):
+    """Per-scenario targets/precisions/dead-zones ride the fast path: the
+    override-bound fleet must match the vmap path batching the same Spec
+    leaves (SURVEY (x0, keypoints, weights) scenario axis)."""
+    H = 60
+    spec = _posorn_spec_h(panda_robot_f64, H)
+    B = 3
+    rng = np.random.default_rng(5)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(B, 7))
+    U0s = np.zeros((B, H - 1, 7))
+    mu_b = np.tile(np.asarray(spec.mu)[None], (B, 1, 1))
+    mu_b[:, H - 1, :3] += 0.05 * rng.normal(size=(B, 3))
+    prec_b = np.tile(np.asarray(spec.prec)[None], (B, 1, 1, 1))
+    prec_b[:, H - 1] *= (1.0 + 0.5 * rng.random(size=(B, 1, 1)))
+    rad_b = np.zeros((B, H))
+    rad_b[:, H // 2 - 1] = 0.01 * rng.random(B)
+    th_b = np.zeros((B, H, 3))
+
+    ref = solve_batch(spec, {"q0": q0s, "x0": q0s, "mu": mu_b,
+                             "prec": prec_b, "pos_radius": rad_b,
+                             "orn_thresh": th_b},
+                      U0s, 4, early_stop=False, prefer_fleet=False)
+    solver = make_fleet_solver(spec, 4, early_stop=False,
+                               overrides=("mu", "prec", "pos_radius",
+                                          "orn_thresh"))
+    fleet = solver(q0s, U0s, {"mu": mu_b, "prec": prec_b,
+                              "pos_radius": rad_b, "orn_thresh": th_b})
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fleet.fX), np.asarray(ref.fX),
+                               atol=1e-9)
+
+
+def test_fleet_hybrid_joint_plus_task_exact_in_f64(panda_robot_f64):
+    """Hybrid SequentialSystem mixing a joint-space and a task-space sub
+    (HYBRID_SYS.ipynb structure): joint subs skip FK entirely while task
+    subs share the walk; summed terms must match the vmap path exactly."""
+    from ilqr_planner_tpu.systems.keypoints import AngularKeypoint
+    from ilqr_planner_tpu.systems.spec import sequential_spec
+
+    H, dt = 50, 0.01
+    qmax = np.ones(7) * np.pi * 10
+    cmd = np.ones(7) * 1e-5
+    sj = make_spec("joint", panda_robot_f64,
+                   [AngularKeypoint(Q0 + 0.2, np.eye(7) * 0.1, H // 2)],
+                   cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax,
+                   dtype=np.float64)
+    st = make_spec("posorn", panda_robot_f64,
+                   [PosOrnKeypoint(T2_POS, T2_ORN,
+                                   np.diag([1, 1, 1, .1, .1, .1]), H - 1)],
+                   cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax,
+                   dtype=np.float64)
+    spec = sequential_spec((sj, st), cmd)
+    assert fleet_supported(spec)
+    B = 2
+    rng = np.random.default_rng(0)
+    q0s = Q0[None] + 0.03 * rng.normal(size=(B, 7))
+    U0s = np.zeros((B, H - 1, 7))
+    ref = solve_batch(spec, {"q0": q0s, "x0": q0s}, U0s, 4,
+                      early_stop=False, prefer_fleet=False)
+    fleet = make_fleet_solver(spec, 4, early_stop=False)(q0s, U0s)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(fleet.fX), np.asarray(ref.fX),
+                               atol=1e-11)

@@ -175,3 +175,46 @@ def test_solve_batch_gn_matches_single(spec):
                          (49, 99), 10, u0s[1])
     np.testing.assert_allclose(res.cost[1], single.cost, rtol=1e-9)
     np.testing.assert_allclose(res.u[1], single.u, atol=1e-9)
+
+
+def test_sharded_fleet_path_matches_single_device_fleet(spec):
+    """solve_batch_sharded routes through the lane-major fleet solver (the
+    round-2 verdict's item 3: the 18x layout must be what runs on the
+    mesh); per-lane results must equal the single-device fleet solve."""
+    from ilqr_planner_tpu.parallel.mesh import _fleet_dispatch
+    from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
+
+    use, ov_names = _fleet_dispatch(spec, {"q0": None, "x0": None})
+    assert use and ov_names == ()  # the fleet path is what shard_map runs
+    B = 16
+    ov = _scenarios(spec, B, seed=7)
+    U0s = np.zeros((B, 99, 7))
+    mesh = make_mesh()
+    res = solve_batch_sharded(spec, ov, U0s, 8, mesh=mesh)
+    ref = make_fleet_solver(spec, 8)(ov["x0"], U0s)
+    np.testing.assert_allclose(np.asarray(res.cost), np.asarray(ref.cost),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(ref.U),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(res.iterations),
+                                  np.asarray(ref.iterations))
+
+
+def test_fleet_step_runs_fleet_on_dp(spec):
+    """spmd.fleet_step's dp axis runs the lane-major solver when supported:
+    costs equal the single-device fleet's per lane."""
+    from ilqr_planner_tpu.parallel.spmd import fleet_step
+    from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
+
+    B = 8
+    ov = _scenarios(spec, B, seed=8)
+    U0s = np.zeros((B, 99, 7))
+    # H-1 = 99 must divide the sp axis: use a (2 dp, 3 sp) 6-device mesh
+    mesh = make_mesh(shape=(2, 3), axis_names=("dp", "sp"),
+                     devices=jax.devices()[:6])
+    costs, mean_cost, _, _, _ = fleet_step(
+        spec, {k: np.asarray(v) for k, v in ov.items()}, U0s, (49, 99), 5,
+        mesh)
+    ref = make_fleet_solver(spec, 5)(ov["x0"], U0s)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref.cost),
+                               rtol=1e-9)
