@@ -181,6 +181,10 @@ class _Consts:
         self.kp_at = {k: [(i, d) for i, sc in enumerate(self.subs)
                           for d in sc.kp if d["k"] == k] for k in steps}
         self.any_limits = any(sc.limits_set for sc in self.subs)
+        # time-axis scan unroll factor: trades trace/compile size for
+        # fewer TPU loop iterations (the ~us/step launch overhead dominates
+        # long horizons at small-to-mid batch; see docs/fleet_unroll_r03.log)
+        self.unroll = 1
 
 
 # ---------------------------------------------------------------------------
@@ -811,7 +815,8 @@ def _rollout(cc: "_Consts", alpha, Ks, ds, Xref, Uref, x0, ov=None):
 
     zero = jnp.zeros_like(x0[0])
     (xH, cost, du_acc), (Xs, U) = jax.lax.scan(
-        step, (_rows(x0), zero, zero), (Ks, ds, Xref[:-1], Uref)
+        step, (_rows(x0), zero, zero), (Ks, ds, Xref[:-1], Uref),
+        unroll=cc.unroll,
     )
     lim_N, _, _ = _limit_soa(cc, xH)
     cost = cost + lim_N
@@ -1056,7 +1061,7 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
                 extra = (al["cx"][lo:hi], al["cu"][lo:hi]) + extra
             inputs = inputs + (extra,)
         (P_a, p_a), (Ks_seg, ds_seg) = jax.lax.scan(
-            seg_step, carry, inputs, reverse=True)
+            seg_step, carry, inputs, reverse=True, unroll=cc.unroll)
         return _mat(P_a), _rows(p_a), Ks_seg, ds_seg
 
     Ks_parts, ds_parts = [], []
@@ -1120,8 +1125,49 @@ def _bind_ov(cc: "_Consts", ov_names, ov):
     return {k: jnp.moveaxis(jnp.asarray(ov[k]), 0, -1) for k in ov_names}
 
 
+def _run_trials(cc: "_Consts", a_sched, X, U, cost0, Ks, ds, x0, ovb,
+                inactive):
+    """Backtracking trials alpha = 1, 1/2, ..., 2^-10 as a while_loop over
+    the alpha grid: the FIRST acceptable trial is adopted per lane and the
+    floor trial sticks on floor-out (identical decisions to the reference's
+    sequential backtracking, ILQRRecursive.cpp:101-157). The loop EXITS as
+    soon as every lane has accepted — in the common all-lanes-accept-
+    alpha=1 regime that is one rollout pass instead of eleven. `inactive`
+    lanes (frozen by done-masking; their picked values are discarded by the
+    caller) are pre-seeded as accepted so they never force extra passes.
+
+    (Measured on the TPU: vmapping the alpha axis into the rollout — one
+    H-scan of 11x-wide ops — is 4.6x SLOWER; the 11x carry spills out of
+    VMEM. Sequential passes with early exit keep each step's working set
+    resident AND skip the unused tail of the grid.)
+    """
+    B = cost0.shape[0]
+    dtype = cost0.dtype
+    n_alpha = a_sched.shape[0]
+    dummy = (X, U, cost0, jnp.zeros((B,), dtype), jnp.ones((B,), dtype))
+
+    def cond(st):
+        i, accepted, _ = st
+        return (i < n_alpha) & ~jnp.all(accepted)
+
+    def body(st):
+        i, accepted, best = st
+        a = a_sched[i]
+        Xt, Ut, ct, dut = _rollout(cc, a, Ks, ds, X, U, x0, ovb)
+        ok = (ct < cost0) & ~jnp.isnan(ct)
+        take = ~accepted  # first passing alpha wins; floor-out sticks
+        sel = lambda b, o: jnp.where(take, o, b)
+        best = (sel(best[0], Xt), sel(best[1], Ut), sel(best[2], ct),
+                sel(best[3], dut), sel(best[4], jnp.broadcast_to(a, (B,))))
+        return (i + 1, accepted | ok, best)
+
+    _, _, picked = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), inactive, dummy))
+    return picked
+
+
 def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
-                      early_stop: bool = True, overrides=()):
+                      early_stop: bool = True, overrides=(), unroll: int = 1):
     """Build a jitted lane-major fleet solve: (x0s [B,n], U0s [B,H-1,nu]
     [, ov]) -> ILQRResult with a leading scenario axis. The spec must be
     concrete (not traced); its arrays fold into the program as constants.
@@ -1132,6 +1178,7 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
     pos_radius [B,H], orn_thresh [B,H,3]).
     """
     cc = _Consts(spec, overrides)
+    cc.unroll = int(unroll)
     n, m, H = cc.n, cc.m, cc.H
     a_sched = _alpha_schedule(cc, line_search)
     ov_names = tuple(overrides)
@@ -1147,30 +1194,12 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
         zX = jnp.zeros((H, n, B), dtype)
         X, U, cost0, _ = _rollout(cc, 0.0, zK, zd, zX, U0, x0, ovb)
 
-        def iter_body(carry, _):
+        def iter_body(carry):
             X, U, cost0, Ks, ds, it, done, alpha_l, du_l = carry
+            active = ~done & (it < nb_iter)
             Ks_n, ds_n = _backward(cc, X, U, ovb)
-
-            # Trials run as a sequential scan over the alpha grid, each a
-            # full-width lane-major rollout. (Measured on the TPU: vmapping
-            # the alpha axis into the rollout — one H-scan of 11x-wide ops —
-            # is 4.6x SLOWER here; the 11x carry spills out of VMEM, while
-            # sequential trials keep each step's working set resident.
-            # 14.4k vs 3.1k solves/s at B=4608.)
-            def trial(tc, a):
-                accepted, best = tc
-                Xt, Ut, ct, dut = _rollout(cc, a, Ks_n, ds_n, X, U, x0, ovb)
-                ok = (ct < cost0) & ~jnp.isnan(ct)
-                take = ~accepted  # first passing alpha wins; floor-out sticks
-                sel = lambda b, o: jnp.where(take, o, b)
-                best = (sel(best[0], Xt), sel(best[1], Ut), sel(best[2], ct),
-                        sel(best[3], dut),
-                        sel(best[4], jnp.broadcast_to(a, (B,))))
-                return (accepted | ok, best), None
-
-            dummy = (X, U, cost0, jnp.zeros((B,), dtype), jnp.ones((B,), dtype))
-            (acc, picked), _ = jax.lax.scan(
-                trial, (jnp.zeros((B,), bool), dummy), a_sched)
+            picked = _run_trials(cc, a_sched, X, U, cost0, Ks_n, ds_n, x0,
+                                 ovb, ~active)
             Xn, Un, costn, du_acc, alpha = picked
 
             new_done = done | (early_stop
@@ -1178,15 +1207,23 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
                                & (costn < 1e-3))
             new = (Xn, Un, costn, Ks_n, ds_n, it + 1, new_done, alpha, du_acc)
             old = (X, U, cost0, Ks, ds, it, done, alpha_l, du_l)
-            carry = jax.tree_util.tree_map(
-                lambda o, nw: jnp.where(done, o, nw), old, new)
-            return carry, None
+            return jax.tree_util.tree_map(
+                lambda o, nw: jnp.where(active, nw, o), old, new)
+
+        # Iterations as a while_loop with per-lane masking: lanes freeze
+        # independently when done or at their iteration budget (identical
+        # results to the fixed-length masked scan), and the loop exits
+        # outright once EVERY lane is frozen — with early stopping this
+        # skips the all-lanes-converged tail entirely.
+        def iter_cond(carry):
+            it, done = carry[5], carry[6]
+            return jnp.any(~done & (it < nb_iter))
 
         carry0 = (X, U, cost0, zK, zd, jnp.zeros((B,), jnp.int32),
                   jnp.zeros((B,), bool), jnp.ones((B,), dtype),
                   jnp.zeros((B,), dtype))
-        X, U, cost, Ks, ds, it, done, alpha, _ = jax.lax.scan(
-            iter_body, carry0, None, length=nb_iter)[0]
+        X, U, cost, Ks, ds, it, done, alpha, _ = jax.lax.while_loop(
+            iter_cond, iter_body, carry0)
 
         fX = _fx_traj(cc, X)
         return ILQRResult(
@@ -1206,7 +1243,7 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
 def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
                          lag_update_step: int, penalty: float,
                          scaling_factor: float, line_search: bool = True,
-                         early_stop: bool = True):
+                         early_stop: bool = True, unroll: int = 1):
     """Lane-major AL-iLQR fleet: (x0s [B,n], U0s [B,H-1,nu], lam0
     [nc] | [H-1,nc] | [B,H-1,nc]) -> ALILQRResult with a leading scenario
     axis. Reproduces al_ilqr._solve_body_sparse per lane: plain-cost line
@@ -1215,6 +1252,7 @@ def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
     iterations (cpp:202-208), early stop alpha*sqrt(sum||du||) < 1e-3
     (cpp:225) — per-lane masked so converged scenarios freeze."""
     cc = _Consts(spec)
+    cc.unroll = int(unroll)
     n, m, H = cc.n, cc.m, cc.H
     A = np.asarray(constraints.A, cc.np_dtype)   # [H-1, nc, n+m]
     bv = np.asarray(constraints.b, cc.np_dtype)  # [H-1, nc]
@@ -1262,25 +1300,13 @@ def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
         X, U, cost0, _ = _rollout(cc, 0.0, zK, zd, zX, U0, x0)
         Is0, g0 = active_sets(X, U, lam, pen)
 
-        def iter_body(carry, _):
+        def iter_body(carry):
             X, U, Is, g, cost0, lam, pen, it, done = carry
+            active = ~done & (it < nb_iter)
             al = dict(al_static, Is=Is, g=g, lam=lam)
             Ks_n, ds_n = _backward(cc, X, U, None, al)
-
-            def trial(tc, a):
-                accepted, best = tc
-                Xt, Ut, ct, dut = _rollout(cc, a, Ks_n, ds_n, X, U, x0)
-                ok = (ct < cost0) & ~jnp.isnan(ct)
-                take = ~accepted
-                sel = lambda b, o: jnp.where(take, o, b)
-                best = (sel(best[0], Xt), sel(best[1], Ut), sel(best[2], ct),
-                        sel(best[3], dut),
-                        sel(best[4], jnp.broadcast_to(a, (B,))))
-                return (accepted | ok, best), None
-
-            dummy = (X, U, cost0, jnp.zeros((B,), dtype), jnp.ones((B,), dtype))
-            (_, picked), _ = jax.lax.scan(
-                trial, (jnp.zeros((B,), bool), dummy), a_sched)
+            picked = _run_trials(cc, a_sched, X, U, cost0, Ks_n, ds_n, x0,
+                                 None, ~active)
             Xn, Un, costn, du_acc, alpha = picked
 
             # Active sets from the accepted trajectory with the pre-update
@@ -1298,14 +1324,20 @@ def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
                                & (alpha * jnp.sqrt(du_acc) < 1e-3))
             new = (Xn, Un, Isn, gn, costn, lam_n, pen_n, it + 1, new_done)
             old = (X, U, Is, g, cost0, lam, pen, it, done)
-            carry = jax.tree_util.tree_map(
-                lambda o, nw: jnp.where(done, o, nw), old, new)
-            return carry, None
+            return jax.tree_util.tree_map(
+                lambda o, nw: jnp.where(active, nw, o), old, new)
+
+        # Per-lane-masked while_loop (see make_fleet_solver): exits as soon
+        # as every lane is done or at budget — for the reference's 100-
+        # iteration AL schedule most lanes early-stop far sooner.
+        def iter_cond(carry):
+            it, done = carry[7], carry[8]
+            return jnp.any(~done & (it < nb_iter))
 
         carry0 = (X, U, Is0, g0, cost0, lam, pen,
                   jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool))
-        X, U, _, _, cost, lam, _, it, _ = jax.lax.scan(
-            iter_body, carry0, None, length=nb_iter)[0]
+        X, U, _, _, cost, lam, _, it, _ = jax.lax.while_loop(
+            iter_cond, iter_body, carry0)
 
         fX = _fx_traj(cc, X)
         return ALILQRResult(
