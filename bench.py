@@ -71,14 +71,19 @@ V5E_VPU_TFLOPS = 3.9
 V5E_MXU_BF16_TFLOPS = 197.0
 
 
-def _roofline(spec, batch, best_time_s, jnp):
-    """XLA-reported flops/bytes of the fleet program -> sustained vs peak.
+def _roofline(spec, batch, best_time_s, median_iters, jnp):
+    """Sustained FLOP/s and HBM GB/s vs the v5e ceilings.
 
-    Uses compiled cost_analysis (the compiler's own op counts), not hand
-    counting; per-solve numbers divide by the batch. The fleet program is
-    VPU-bound by design (every op is a [B]-lane elementwise FMA; no matmuls
-    large enough to enter the MXU), so the relevant ceilings are the VPU
-    FLOP rate and HBM bandwidth.
+    Two accountings, both emitted:
+    - `xla_static_*`: compiled.cost_analysis() — the compiler's own op
+      counts, but each while/scan BODY is counted ONCE (trip counts are
+      dynamic), so these UNDERCOUNT by roughly iters x horizon.
+    - `model_*`: analytic per-step op model x the measured trip counts
+      (median executed iterations, H-1 steps per sweep, the measured ~2.5
+      average early-exit line-search passes). This is the honest sustained
+      number; details in docs/roofline.md.
+    The fleet program is VPU code by design (every op a [B]-lane elementwise
+    FMA; nothing enters the MXU), so the ceilings are VPU FLOP rate and HBM.
     """
     import jax
 
@@ -86,26 +91,43 @@ def _roofline(spec, batch, best_time_s, jnp):
     solver = make_fleet_solver(spec, NB_ITER)
     x0s = jnp.zeros((batch, 7), jnp.float32)
     U0s = jnp.zeros((batch, 99, 7), jnp.float32)
+    out = {}
     try:
         ca = jax.jit(solver.inner).lower(x0s, U0s).compile().cost_analysis()
         if isinstance(ca, list):  # older jax returns [dict]
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        out["xla_static_flops_per_solve"] = round(float(ca.get("flops", 0.0))
+                                                  / batch)
+        out["xla_static_hbm_bytes_per_solve"] = round(
+            float(ca.get("bytes accessed", 0.0)) / batch)
     except Exception as e:  # pragma: no cover - backend-dependent API
         print(f"roofline: cost_analysis unavailable ({e})", file=sys.stderr)
-        return {}
-    tflops_sustained = flops / best_time_s / 1e12
-    gbps_sustained = bytes_acc / best_time_s / 1e9
-    return {
-        "flops_per_solve": round(flops / batch),
-        "hbm_bytes_per_solve": round(bytes_acc / batch),
-        "sustained_tflops": round(tflops_sustained, 4),
-        "sustained_hbm_gbps": round(gbps_sustained, 1),
-        "vpu_peak_frac": round(tflops_sustained / V5E_VPU_TFLOPS, 4),
-        "hbm_peak_frac": round(gbps_sustained / V5E_HBM_GBPS, 4),
-        "mxu_bf16_peak_frac": round(tflops_sustained / V5E_MXU_BF16_TFLOPS, 5),
-    }
+
+    # Analytic per-lane op model (flagship: n = m = 7, H = 100, 2 keypoints).
+    # Backward step: Quu/Qux/Qxx ~3x49 FMA, Qu/Qx 21, stacked Gauss-Jordan
+    # elimination ~7*(8 + 7*8) ~ 450, value recursion ~1500 -> ~2.5k FMA =
+    # ~5 kFLOP. Rollout step: du 49 FMA + integrate/limits/norm ~70 -> ~240
+    # FLOP. Keypoint FK + Gauss-Newton terms ~4 kFLOP per evaluated step.
+    H = spec.horizon
+    trials_avg = 2.5  # measured early-exit average across iterations
+    flops_model = median_iters * ((H - 1) * 5000.0
+                                  + trials_avg * (H - 1) * 240.0
+                                  + 4 * 4000.0)
+    # HBM model: per iteration the backward writes K,d ([H-1, 56] f32) and
+    # each trial pass re-reads them plus X/U reference trajectories.
+    bytes_model = median_iters * (H - 1) * 56 * 4 * (1 + trials_avg + 1.5)
+    tflops = flops_model * batch / best_time_s / 1e12
+    gbps = bytes_model * batch / best_time_s / 1e9
+    out.update({
+        "model_flops_per_solve": round(flops_model),
+        "model_hbm_bytes_per_solve": round(bytes_model),
+        "model_sustained_tflops": round(tflops, 4),
+        "model_sustained_hbm_gbps": round(gbps, 1),
+        "vpu_peak_frac": round(tflops / V5E_VPU_TFLOPS, 4),
+        "hbm_peak_frac": round(gbps / V5E_HBM_GBPS, 4),
+        "mxu_bf16_peak_frac": round(tflops / V5E_MXU_BF16_TFLOPS, 6),
+    })
+    return out
 
 
 def main():
@@ -144,7 +166,8 @@ def main():
               file=sys.stderr)
 
     solves_per_s = BATCH / min(times)
-    roofline = _roofline(spec, BATCH, min(times), jnp)
+    med_iters = float(np.median(np.asarray(res.iterations)))
+    roofline = _roofline(spec, BATCH, min(times), med_iters, jnp)
     print(json.dumps({
         "metric": "panda_posorn_H100_ilqr10_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),

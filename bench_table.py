@@ -38,7 +38,7 @@ def _row_flagship(jnp):
     from ilqr_planner_tpu.parallel import solve_batch
 
     spec = _panda_spec(100, 49, 99, jnp.float32)
-    B = 4608
+    B = 9216
     q0s = _q0s(B)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((B, 99, 7), jnp.float32)
@@ -81,7 +81,7 @@ def _row_second_order(jnp):
                           dposition=[0, 0, 0], dorientation=[0, 0, 0, 0])]
     spec = _build_spec("posorn", kps, H, 2, dt=0.01,
                        dq_max=np.ones(7) * 10, dq_min=-np.ones(7) * 10)
-    B = 1024
+    B = 2048
     q0s = _q0s(B)
     x0s = np.concatenate([q0s, np.zeros_like(q0s)], axis=-1)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(x0s)}
@@ -134,7 +134,7 @@ def _row_al_h400(jnp):
     b = np.zeros(14, np.float32)
     b[5] = 2.0
     cons = Constraints.uniform(jnp.asarray(A), jnp.asarray(b), H)
-    B = 512
+    B = 4096
     q0s = _q0s(B)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
@@ -285,16 +285,19 @@ def _row_joint_time_h100(jnp):
     from ilqr_planner_tpu.systems.keypoints import AngularTimeKeypoint
 
     H = 100
-    kps = [AngularTimeKeypoint(np.asarray(Q0) + 0.3, np.diag([1.0] * 7 + [0]),
+    kps = [AngularTimeKeypoint(np.asarray(Q0) + 0.15, np.diag([1.0] * 7 + [0]),
                                49, 2.0),
-           AngularTimeKeypoint(np.asarray(Q0) - 0.2,
+           AngularTimeKeypoint(np.asarray(Q0) - 0.1,
                                np.diag([1.0] * 7 + [0.1]), 99, 5.0)]
     spec = _build_spec("joint_time", kps, H, 1, rt_dim=8, dt=None)
     B = 2048
-    q0s = _q0s(B, seed=4)
+    q0s = _q0s(B, sigma=0.02, seed=4)
     x0s = np.concatenate([q0s, np.zeros((B, 1), np.float32)], axis=-1)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(x0s)}
-    U0 = np.tile(np.array([0.0] * 7 + [0.01], np.float32), (H - 1, 1))
+    # sqrt-dt seed 0.1 (initial dt = 0.01 s): the 0.01 seed of the posorn
+    # row leaves this joint-space workload too little time signal and it
+    # stalls (measured: cost ~0.6 after 10 it vs 5e-6 with 0.1)
+    U0 = np.tile(np.array([0.0] * 7 + [0.1], np.float32), (H - 1, 1))
     U0s = jnp.asarray(np.tile(U0[None], (B, 1, 1)))
 
     def run():

@@ -779,47 +779,69 @@ def _limit_arrays(cc: "_Consts", X):
 # rollout (FK-free scan + static keypoint costs) — _light_rollout, lane-major
 # ---------------------------------------------------------------------------
 
+def _limit_cost_arr(cc: "_Consts", x):
+    """Per-step limit-penalty cost on a PACKED [n, B] state, summed over
+    subsystems (same math as _limit_soa, ~6 whole-array ops per sub)."""
+    cost = jnp.zeros_like(x[0])
+    for sc in cc.subs:
+        if not sc.limits_set:
+            continue
+        smax = jnp.asarray(np.asarray(sc.smax, cc.np_dtype))[:, None]
+        smin = jnp.asarray(np.asarray(sc.smin, cc.np_dtype))[:, None]
+        w = jnp.asarray(np.asarray(sc.weight, cc.np_dtype))[:, None]
+        over = x > smax
+        under = x < smin
+        active = (w != 0) & (over | under)
+        Ld = jnp.where(active, sc.penalty, 0.0).astype(x.dtype)
+        ql = jnp.where(over, smax - x, jnp.where(under, smin - x, 0.0))
+        ql = jnp.where(active, ql, 0.0).astype(x.dtype)
+        cost = cost + jnp.sum(Ld * ql * ql, axis=0)
+    return cost
+
+
 def _rollout(cc: "_Consts", alpha, Ks, ds, Xref, Uref, x0, ov=None):
     """Closed-loop rollout u = uo + K (x - xo) + alpha d over all lanes.
 
     Ks [H-1,m,n,B], ds/Uref [H-1,m,B], Xref [H,n,B], x0 [n,B]; alpha scalar
     (traced) or float. Returns (X [H,n,B], U [H-1,m,B], cost [B], du [B]).
+
+    The scan step works on PACKED [n, B] arrays (~20 whole-array ops), not
+    the unrolled per-element lists the backward uses — the rollout is the
+    most-executed body (one pass per line-search trial) and the packed form
+    keeps it to a handful of XLA fusions per step.
     """
     n, m, dof = cc.n, cc.m, cc.dof
     dt = cc.dt
 
     def step(carry, inp):
-        x, cost, du_acc = carry  # x: list of n [B]
+        x, cost, du_acc = carry  # x: [n, B]
         K, d, xo, uo = inp
-        dx = [x[j] - xo[j] for j in range(n)]
-        du = [sum(K[i, j] * dx[j] for j in range(n)) + alpha * d[i]
-              for i in range(m)]
-        u = [uo[i] + du[i] for i in range(m)]
-        lim_c, _, _ = _limit_soa(cc, x)
+        du = jnp.sum(K * (x - xo)[None, :, :], axis=1) + alpha * d
+        u = uo + du
+        lim_c = _limit_cost_arr(cc, x)
         if cc.time:
             # dt_k = s^2 with s the last control (PosOrnTimePlannerSys.cpp:
             # 154-161); the time state integrates dt_k.
             s_ = u[m - 1]
             dtk = s_ * s_
-            x1 = ([x[i] + dtk * u[i] for i in range(dof)]
-                  + [x[n - 1] + dtk])
+            x1 = jnp.concatenate(
+                [x[:dof] + dtk[None] * u[:dof], (x[n - 1] + dtk)[None]])
         elif cc.nb_deriv == 2:
             # semi-implicit Euler (SimulationInterface.cpp:19-26)
-            x1 = ([x[i] + dt * x[dof + i] + 0.5 * dt * dt * u[i]
-                   for i in range(dof)]
-                  + [x[dof + i] + dt * u[i] for i in range(dof)])
+            x1 = jnp.concatenate(
+                [x[:dof] + dt * x[dof:] + (0.5 * dt * dt) * u,
+                 x[dof:] + dt * u])
         else:
-            x1 = [x[i] + dt * u[i] for i in range(n)]
-        du_acc = du_acc + jnp.sqrt(sum(v * v for v in du))
-        return (x1, cost + lim_c, du_acc), (jnp.stack(x1), jnp.stack(u))
+            x1 = x + dt * u
+        du_acc = du_acc + jnp.sqrt(jnp.sum(du * du, axis=0))
+        return (x1, cost + lim_c, du_acc), (x1, u)
 
     zero = jnp.zeros_like(x0[0])
     (xH, cost, du_acc), (Xs, U) = jax.lax.scan(
-        step, (_rows(x0), zero, zero), (Ks, ds, Xref[:-1], Uref),
+        step, (x0, zero, zero), (Ks, ds, Xref[:-1], Uref),
         unroll=cc.unroll,
     )
-    lim_N, _, _ = _limit_soa(cc, xH)
-    cost = cost + lim_N
+    cost = cost + _limit_cost_arr(cc, xH)
     X = jnp.concatenate([x0[None], Xs], axis=0)  # [H, n, B]
     # control penalty enters the cost value only at each sub's keypoint
     # steps with that SUB's Rt (System.cpp:217-221, summed across subs
