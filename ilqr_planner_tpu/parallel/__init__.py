@@ -6,6 +6,7 @@ from ilqr_planner_tpu.parallel.mesh import (
     make_mesh,
     solve_batch,
     solve_batch_al,
+    solve_batch_al_staged,
     solve_batch_chunked,
     solve_batch_gn,
     solve_batch_sharded,
@@ -17,6 +18,7 @@ __all__ = [
     "make_mesh",
     "solve_batch",
     "solve_batch_al",
+    "solve_batch_al_staged",
     "solve_batch_chunked",
     "solve_batch_gn",
     "solve_batch_sharded",

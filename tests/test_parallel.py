@@ -218,3 +218,25 @@ def test_fleet_step_runs_fleet_on_dp(spec):
     ref = make_fleet_solver(spec, 5)(ov["x0"], U0s)
     np.testing.assert_allclose(np.asarray(costs), np.asarray(ref.cost),
                                rtol=1e-9)
+
+
+def test_al_staged_equals_direct(spec, al_setup):
+    """The straggler-aware two-stage AL schedule returns exactly the direct
+    nb_iter solve: converged lanes are frozen (bit-identical), stragglers
+    recompute the same deterministic computation."""
+    from ilqr_planner_tpu.parallel import solve_batch_al, solve_batch_al_staged
+
+    cons, b = al_setup
+    B = 6
+    ov = _scenarios(spec, B, seed=9)
+    U0s = np.zeros((B, 99, 7))
+    direct = solve_batch_al(spec, cons, b, ov, U0s, 12, 5, 0.25, 1.1)
+    staged = solve_batch_al_staged(spec, cons, b, ov, U0s, 12, 5, 0.25, 1.1,
+                                   first_stage=4, bucket=2)
+    assert np.any(np.asarray(direct.iterations) > 4)  # stage 2 actually ran
+    np.testing.assert_allclose(np.asarray(staged.cost),
+                               np.asarray(direct.cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(staged.U), np.asarray(direct.U),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(staged.iterations),
+                                  np.asarray(direct.iterations))
