@@ -121,7 +121,6 @@ def _row_time_optimal(jnp):
 def _row_al_h400(jnp):
     """Pos+orn H=400 with state bound x5 <= 2, AL-iLQR 100 it
     (POS_ORN_SYS_AL_ILQR.ipynb cell 14, 727 ms single-core)."""
-    from ilqr_planner_tpu.parallel import solve_batch_al
     from ilqr_planner_tpu.solvers.al_ilqr import Constraints
     from ilqr_planner_tpu.systems.keypoints import PosOrnKeypoint
 
