@@ -44,11 +44,18 @@ def _run_batch(solve_batch, spec, Q0, batch, jnp):
     overrides = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((batch, 99, 7), jnp.float32)
 
+    from ilqr_planner_tpu.utils.compilemeter import CompileMeter
+
     t0 = time.time()
-    res = solve_batch(spec, overrides, U0s, NB_ITER)
-    np.asarray(res.cost)
+    with CompileMeter() as cm:
+        res = solve_batch(spec, overrides, U0s, NB_ITER)
+        np.asarray(res.cost)
     compile_s = time.time() - t0
-    print(f"B={batch}: compile+first solve {compile_s:.1f}s", file=sys.stderr)
+    compile_split = cm.report(wall_s=compile_s)
+    print(f"B={batch}: compile+first solve {compile_s:.1f}s "
+          f"(xla {compile_split['xla_compile_s']}s, trace "
+          f"{compile_split['trace_s']}s, lower {compile_split['lower_s']}s, "
+          f"other/tunnel {compile_split['other_s']}s)", file=sys.stderr)
 
     # Time to materialized-result: fetch the per-scenario costs to host each
     # repeat. jax.block_until_ready does not reliably wait on the remote
@@ -59,7 +66,7 @@ def _run_batch(solve_batch, spec, Q0, batch, jnp):
         res = solve_batch(spec, overrides, U0s, NB_ITER)
         np.asarray(res.cost)
         times.append(time.time() - t0)
-    return times, compile_s, res
+    return times, compile_s, compile_split, res
 
 
 # v5e single-chip ceilings (public spec / jax-ml.github.io/scaling-book):
@@ -148,12 +155,12 @@ def main():
     spec = _panda_spec(100, 49, 99, jnp.float32)
     results = []
     for batch in BATCH_CANDIDATES:
-        times, compile_s, r = _run_batch(solve_batch, spec, Q0, batch, jnp)
+        times, compile_s, csplit, r = _run_batch(solve_batch, spec, Q0, batch, jnp)
         t = min(times)
         print(f"B={batch}: repeats {[f'{x*1e3:.0f}ms' for x in times]} "
               f"-> best {batch / t:,.0f} solves/s", file=sys.stderr)
-        results.append((batch / t, batch, times, compile_s, r))
-    best_rate, BATCH, times, compile_s, res = max(results)
+        results.append((batch / t, batch, times, compile_s, csplit, r))
+    best_rate, BATCH, times, compile_s, csplit, res = max(results)
 
     costs = np.asarray(res.cost)
     median_cost = float(np.median(costs))
@@ -177,6 +184,7 @@ def main():
         "repeat_times_s": [round(t, 4) for t in times],
         "spread_max_over_min": round(max(times) / min(times), 2),
         "compile_s": round(compile_s, 1),
+        "compile_split": csplit,
         "median_cost": median_cost,
         "converged_frac": converged,
         **roofline,

@@ -395,12 +395,18 @@ ROWS = {
 
 
 def run_row(name, builder, jnp):
+    from ilqr_planner_tpu.utils.compilemeter import CompileMeter
+
     run, B, ref_s = builder(jnp)
     t0 = time.time()
-    res = run()
-    costs = np.asarray(res.cost)
+    with CompileMeter() as cm:
+        res = run()
+        costs = np.asarray(res.cost)
     compile_s = time.time() - t0
-    print(f"{name}: B={B} compile+first {compile_s:.1f}s", file=sys.stderr)
+    csplit = cm.report(wall_s=compile_s)
+    print(f"{name}: B={B} compile+first {compile_s:.1f}s "
+          f"(xla {csplit['xla_compile_s']}s, other/tunnel "
+          f"{csplit['other_s']}s)", file=sys.stderr)
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
@@ -416,6 +422,7 @@ def run_row(name, builder, jnp):
         "solves_per_s": round(sps, 1),
         "repeat_times_s": [round(t, 4) for t in times],
         "compile_s": round(compile_s, 1),
+        "compile_split": csplit,
         "median_cost": float(np.median(costs)),
         # iters-to-converge (BASELINE.json metric): median executed solver
         # iterations per scenario (early stop freezes converged lanes)

@@ -27,11 +27,12 @@ class ILQRRecursive:
     def __init__(self, s: System):
         self.s = s
 
-    def solve(self, U0, nb_iter, line_search=True, early_stop=True, cb=None):
+    def solve(self, U0, nb_iter, line_search=True, early_stop=True, cb=None,
+              guard=False):
         U0 = np.asarray(U0, float).reshape(self.s.spec.horizon - 1,
                                            self.s.spec.nu)
         res = _ilqr.solve(self.s.spec, U0, nb_iter, line_search, early_stop,
-                          callback=cb)
+                          callback=cb, guard=guard)
         self.s.reset()
         return (np.asarray(res.X), np.asarray(res.fX), np.asarray(res.U),
                 np.asarray(res.Ks), np.asarray(res.ds), float(res.cost))

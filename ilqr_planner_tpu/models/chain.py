@@ -99,11 +99,21 @@ def jacobian_derivative(J, dq):
     """Analytic dJ/dt from the cross-product structure of the geometric
     Jacobian, contracted with dq (reference: utils.h:70-113, any dof).
 
-    For columns i and differentiation joints j of a revolute chain:
+    For columns i and differentiation joints j:
       j <  i : dJv_i/dq_j = Jw_j x Jv_i ; dJw_i/dq_j = Jw_j x Jw_i
       j == i : dJv_i/dq_i = Jw_i x Jv_i ; dJw_i/dq_i = 0
       j >  i : dJv_i/dq_j = Jw_i x Jv_j ; dJw_i/dq_j = 0
-    (These are exactly the index formulas at utils.h:85-100.)
+    (These are exactly the index formulas at utils.h:85-100, where the
+    reference hardcodes dof=7.)
+
+    The formulas hold for prismatic joints too, automatically: a prismatic
+    column has Jw = 0, which zeroes exactly the terms that must vanish —
+    translating joint j rotates nothing (Jw_j = 0 kills the j < i terms),
+    a prismatic column's axis is unaffected by its own or later joints
+    (Jw_i = 0 kills the j >= i terms), while a later prismatic joint still
+    translates the EE point for a revolute column (the Jw_i x Jv_j term
+    with Jv_j = z_j remains). FD-validated on a mixed revolute/prismatic
+    chain in tests/test_kinematics.py.
     """
     dof = J.shape[-1]
     Jv = J[:3].T  # (dof, 3) columns

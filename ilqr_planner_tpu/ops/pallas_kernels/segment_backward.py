@@ -1,0 +1,317 @@
+"""Keypoint-sparse fleet backward sweep as ONE Pallas TPU kernel.
+
+This is the round-3 roofline's named lever (docs/roofline.md): the fleet
+solver's backward (solvers/fleet.py:_backward) runs the reference Riccati
+recursion (ILQRRecursive.cpp:73-97) lane-major, but as a lax.scan whose
+~3.5k-vector-op body compiles to dozens of XLA fusions per step — the
+per-step fusion launches and the HBM round-trips of the (P, p) carry and
+boundary intermediates dominate the ~5 kFLOP of real work. Here the WHOLE
+sweep (all H-1 steps, including the statically-known keypoint steps) runs
+as one kernel invocation per lane tile:
+
+  * the (P, p) cost-to-go carry lives in VMEM scratch for the entire sweep
+    — it never touches HBM;
+  * per-step inputs (limit-penalty diagonal, stage gradient, controls)
+    stream HBM -> VMEM with a double-buffered async copy (the next step's
+    input loads while the current step computes);
+  * gains (K, d) stream VMEM -> HBM with a deferred-wait store;
+  * the dense keypoint Hessians J^T P J enter ONLY at the static keypoint
+    steps (DMA'd there and nowhere else) — the keypoint sparsity that the
+    round-2 dense kernel (ops/pallas_kernels/riccati.py) lost 3x to.
+
+Scope: the first-order LTI kinds (A = I, B = dt I, m = n —
+PosOrnPlannerSys.cpp:119-123 and the joint/point kinds), no AL terms.
+Everything else stays on the XLA segmented-scan path.
+
+Math is the exact fleet recursion: Quu = dt^2 P + diag(Rt), Qux = dt P,
+Qxx = stage + P, Qu = Rt u + dt p, Qx = lx + p; gains from the
+1e-6-regularized stacked Gauss-Jordan solve (ILQRRecursive.cpp:89-91,
+fleet._solve_aug); UNregularized value recursion (cpp:93-94,
+fleet._gains_value).
+
+Lane layout: scenarios struct-of-arrays with the lane axis as trailing
+(LS, 128) dims; every small-matrix element is one VPU tile, every scalar op
+in the recursion an (LS, 128)-wide vector op over all lanes of the tile.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["segment_backward_pallas", "pallas_backward_supported"]
+
+
+def _pick_ls(B):
+    """Largest sublane count in (8, 4, 2, 1) whose (LS*128)-lane tile
+    divides B; None when B is not a multiple of 128."""
+    for ls in (8, 4, 2, 1):
+        if B % (ls * 128) == 0:
+            return ls
+    return None
+
+
+def pallas_backward_supported(B, n, m, nb_deriv, time, has_al, dtype,
+                              interpret=False):
+    """Static gate for the Pallas sweep: first-order LTI (m == n), no AL,
+    lane count tileable, f32 on a real TPU (any dtype under interpret)."""
+    if nb_deriv != 1 or time or has_al or m != n:
+        return False
+    if _pick_ls(B) is None:
+        return False
+    if interpret:
+        return True
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(params_ref, P0_ref, p0_ref, steps_ref, gxx_ref, kd_ref,
+            P_scr, p_scr, inbuf, gxxbuf, outbuf, sem_in, sem_gxx, sem_out,
+            *, H, n, kp_slots):
+    """One full backward sweep per grid step (one lane tile).
+
+    steps_ref [G, H-1, 3n, LS, 128]: rows 0..n-1 = limit diag l2 (already
+    squared, System.cpp:286-308), n..2n-1 = stage gradient lx (keypoint
+    -J^T P e folded in at keypoint steps), 2n..3n-1 = controls u.
+    gxx_ref [G, n_kp, n, n, LS, 128]: dense keypoint Hessians at the static
+    inner keypoint steps; kp_slots maps step t -> slot (host-side dict).
+    kd_ref [G, H-1, n, n+1, LS, 128]: K in cols 0..n-1, d in col n.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+    dt = params_ref[0]
+    reg = params_ref[1]
+    r = [params_ref[2 + i] for i in range(n)]
+
+    def in_copy(t):
+        return pltpu.make_async_copy(steps_ref.at[g, t], inbuf.at[t % 2],
+                                     sem_in.at[t % 2])
+
+    def out_copy(t):
+        return pltpu.make_async_copy(outbuf.at[t % 2], kd_ref.at[g, t],
+                                     sem_out.at[t % 2])
+
+    # carry <- terminal value (computed outside: keypoint term at H-1)
+    for i in range(n):
+        p_scr[i] = p0_ref[0, i]
+        for j in range(n):
+            P_scr[i, j] = P0_ref[0, i, j]
+
+    def step(t, kp_slot):
+        """One backward step at traced time t; kp_slot is a STATIC slot
+        index into gxx_ref (None at non-keypoint steps)."""
+        in_copy(t).wait()
+        # prefetch the next (earlier) step while this one computes
+        @pl.when(t >= 1)
+        def _():
+            in_copy(t - 1).start()
+
+        buf = inbuf.at[t % 2]
+        l2 = [buf[i] for i in range(n)]
+        lx = [buf[n + i] for i in range(n)]
+        ut = [buf[2 * n + i] for i in range(n)]
+        P = [[P_scr[i, j] for j in range(n)] for i in range(n)]
+        p = [p_scr[i] for i in range(n)]
+
+        # stage Hessian: limit diagonal (+ dense keypoint term if present)
+        if kp_slot is None:
+            stage = [[l2[i] if i == j else None for j in range(n)]
+                     for i in range(n)]
+        else:
+            stage = [[gxxbuf[i, j] + (l2[i] if i == j else 0.0)
+                      for j in range(n)] for i in range(n)]
+
+        # Q terms (first order: A = I, B = dt I; fleet._q_terms final branch)
+        Qxx = [[P[i][j] + stage[i][j]
+                if stage[i][j] is not None else P[i][j]
+                for j in range(n)] for i in range(n)]
+        Qux = [[dt * P[i][j] for j in range(n)] for i in range(n)]
+        Qu = [r[i] * ut[i] + dt * p[i] for i in range(n)]
+        Qx = [lx[i] + p[i] for i in range(n)]
+        dt2 = dt * dt
+
+        # regularized stacked Gauss-Jordan solve: M [K | d]aug = [Qux | Qu]
+        # (fleet._solve_aug — static-index elimination, no pivoting; Quu is
+        # SPD + the reference 1e-6 ridge, ILQRRecursive.cpp:89)
+        A = [[dt2 * P[i][j] + ((r[i] + reg) if i == j else 0.0)
+              for j in range(n)] for i in range(n)]
+        X = [[Qux[i][j] for j in range(n)] + [Qu[i]] for i in range(n)]
+        for k in range(n):
+            piv = 1.0 / A[k][k]
+            A[k] = [a * piv for a in A[k]]
+            X[k] = [a * piv for a in X[k]]
+            for rr in range(n):
+                if rr == k:
+                    continue
+                fac = A[rr][k]
+                A[rr] = [a - fac * b for a, b in zip(A[rr], A[k])]
+                X[rr] = [a - fac * b for a, b in zip(X[rr], X[k])]
+        K = [[-X[i][j] for j in range(n)] for i in range(n)]
+        d = [-X[i][n] for i in range(n)]
+
+        # UNregularized value recursion (ILQRRecursive.cpp:93-94):
+        # P1 = Qxx + K^T Quu K + K^T Qux + Qux^T K;  Quu = dt^2 P + diag(r)
+        QuuK = [[sum((dt2 * P[i][s] + (r[i] if i == s else 0.0)) * K[s][j]
+                     for s in range(n)) for j in range(n)] for i in range(n)]
+        Quud = [sum((dt2 * P[i][s] + (r[i] if i == s else 0.0)) * d[s]
+                    for s in range(n)) for i in range(n)]
+        # P1 is symmetric: build upper triangle, mirror the rest.
+        P1 = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(i, n):
+                acc = Qxx[i][j]
+                for s in range(n):
+                    acc = acc + K[s][i] * QuuK[s][j]
+                for s in range(n):
+                    acc = acc + K[s][i] * Qux[s][j] + Qux[s][i] * K[s][j]
+                P1[i][j] = acc
+                if j != i:
+                    P1[j][i] = acc
+        p1 = []
+        for i in range(n):
+            acc = Qx[i]
+            for s in range(n):
+                acc = acc + K[s][i] * (Quud[s] + Qu[s]) + Qux[s][i] * d[s]
+            p1.append(acc)
+
+        # stream out K, d (deferred wait: the slot's previous store was
+        # issued two steps ago at t + 2)
+        @pl.when(t <= H - 4)
+        def _():
+            out_copy(t + 2).wait()
+        ob = outbuf.at[t % 2]
+        for i in range(n):
+            ob[i, n] = d[i]
+            for j in range(n):
+                ob[i, j] = K[i][j]
+        out_copy(t).start()
+
+        for i in range(n):
+            p_scr[i] = p1[i]
+            for j in range(n):
+                P_scr[i, j] = P1[i][j]
+
+    # kick off the first input load, then walk the static segment structure
+    in_copy(H - 2).start()
+    kp_steps = sorted(kp_slots, reverse=True)
+    hi = H - 1
+    for k in kp_steps:
+        if hi - 1 > k:
+            def seg_body(it, _, hi=hi):
+                step(hi - 1 - it, None)
+                return 0
+            jax.lax.fori_loop(0, hi - 1 - k, seg_body, 0)
+        # static keypoint step: blocking gxx load + dense-stage step
+        gc = pltpu.make_async_copy(gxx_ref.at[g, kp_slots[k]], gxxbuf,
+                                   sem_gxx)
+        gc.start()
+        gc.wait()
+        step(k, kp_slots[k])
+        hi = k
+    if hi > 0:
+        def seg_body(it, _, hi=hi):
+            step(hi - 1 - it, None)
+            return 0
+        jax.lax.fori_loop(0, hi, seg_body, 0)
+
+    # drain the last two in-flight stores
+    if H - 1 >= 2:
+        out_copy(1).wait()
+    if H - 1 >= 1:
+        out_copy(0).wait()
+
+
+# ---------------------------------------------------------------------------
+# wrapper: lane-minor [.., B] arrays <-> (G, .., LS, 128) tiles
+# ---------------------------------------------------------------------------
+
+def segment_backward_pallas(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
+                            reg=1e-6, interpret=False):
+    """Full backward sweep -> (Ks [H-1, n, n, B], ds [H-1, n, B]).
+
+    P0 [n, n, B], p0 [n, B]: terminal cost-to-go (keypoint term at H-1
+    already folded). L2/lx [H-1, n, B]: per-step limit diagonal and stage
+    gradient (keypoint -J^T P e folded at keypoint steps). U [H-1, n, B].
+    gxx [n_kp, n, n, B] + static kp_steps tuple: dense keypoint Hessians at
+    the inner keypoint steps (may be empty).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, _, B = P0.shape
+    Hm1 = U.shape[0]
+    H = Hm1 + 1
+    dtype = P0.dtype
+    LS = _pick_ls(B)
+    if LS is None:
+        raise ValueError(f"B={B} must be a multiple of 128")
+    LB = LS * 128
+    G = B // LB
+    kp_steps = tuple(int(k) for k in kp_steps)
+    kp_slots = {k: i for i, k in enumerate(kp_steps)}
+    n_kp = max(1, len(kp_steps))  # >=1 so the ref exists even when unused
+
+    def soa(x, lead, inner):
+        # [*lead, *inner, B] -> [G, *lead, *inner, LS, 128]
+        x = x.reshape(*lead, *inner, G, LB)
+        x = jnp.moveaxis(x, -2, 0)
+        return x.reshape(G, *lead, *inner, LS, 128)
+
+    steps = jnp.concatenate([L2, lx, U], axis=1)       # [H-1, 3n, B]
+    steps_s = soa(steps, (Hm1,), (3 * n,))
+    P0_s = soa(P0, (), (n, n))
+    p0_s = soa(p0, (), (n,))
+    if len(kp_steps):
+        gxx_s = soa(gxx, (len(kp_steps),), (n, n))
+    else:
+        gxx_s = jnp.zeros((G, 1, n, n, LS, 128), dtype)
+
+    params = jnp.concatenate([
+        jnp.asarray([dt, reg], dtype), jnp.asarray(Rt, dtype).reshape(n)])
+
+    kern = functools.partial(_kernel, H=H, n=n, kp_slots=kp_slots)
+
+    kd = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # params
+            pl.BlockSpec((1, n, n, LS, 128),
+                         lambda g: (g, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                 # P0
+            pl.BlockSpec((1, n, LS, 128),
+                         lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                 # p0
+            pl.BlockSpec(memory_space=pl.ANY),                     # steps
+            pl.BlockSpec(memory_space=pl.ANY),                     # gxx
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((G, Hm1, n, n + 1, LS, 128), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LS, 128), dtype),       # P carry
+            pltpu.VMEM((n, LS, 128), dtype),          # p carry
+            pltpu.VMEM((2, 3 * n, LS, 128), dtype),   # input double buffer
+            pltpu.VMEM((n, n, LS, 128), dtype),       # gxx buffer
+            pltpu.VMEM((2, n, n + 1, LS, 128), dtype),  # output double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(params, P0_s, p0_s, steps_s, gxx_s)
+
+    def unsoa(x, lead, inner):
+        x = x.reshape(G, *lead, *inner, LB)
+        x = jnp.moveaxis(x, 0, -2)
+        return x.reshape(*lead, *inner, B)
+
+    Ks = unsoa(kd[:, :, :, :n], (Hm1,), (n, n))
+    ds = unsoa(kd[:, :, :, n], (Hm1,), (n,))
+    return Ks, ds

@@ -45,6 +45,17 @@ def batch_specs(spec: Spec, overrides: Dict[str, jnp.ndarray]):
     return spec_b, axes
 
 
+def _fleet_x0s(spec: Spec, overrides, U0s):
+    """Initial-state lanes for the fleet path: the x0/q0 override when given,
+    else the spec's own x0 broadcast over the batch (overrides may carry only
+    keypoint leaves like mu/prec — docs/api.md advertises that)."""
+    x0s = overrides.get("x0", overrides.get("q0"))
+    if x0s is None:
+        B = jnp.asarray(U0s).shape[0]
+        x0s = jnp.broadcast_to(spec.x0, (B,) + spec.x0.shape)
+    return jnp.asarray(x0s)
+
+
 _fleet_cache: Dict[tuple, object] = {}
 
 
@@ -107,11 +118,11 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
                                            bool(line_search), bool(early_stop),
                                            overrides=ov_names)
                 _fleet_cache[key] = solver
-            x0s = overrides.get("x0", overrides.get("q0"))
+            x0s = _fleet_x0s(spec, overrides, U0s)
             if ov_names:
                 ov = {k: jnp.asarray(overrides[k]) for k in ov_names}
-                return solver(jnp.asarray(x0s), jnp.asarray(U0s), ov)
-            return solver(jnp.asarray(x0s), jnp.asarray(U0s))
+                return solver(x0s, jnp.asarray(U0s), ov)
+            return solver(x0s, jnp.asarray(U0s))
 
     spec_b, spec_axes = batch_specs(spec, overrides)
     kp_steps = ilqr.static_kp_steps(spec_b)
@@ -159,9 +170,8 @@ def solve_batch_al(spec: Spec, constraints, lam0, overrides,
                     float(penalty), float(scaling_factor), bool(line_search),
                     bool(early_stop))
                 _fleet_cache[key] = solver
-            x0s = overrides.get("x0", overrides.get("q0"))
-            return solver(jnp.asarray(x0s), jnp.asarray(U0s),
-                          jnp.asarray(lam0))
+            x0s = _fleet_x0s(spec, overrides, U0s)
+            return solver(x0s, jnp.asarray(U0s), jnp.asarray(lam0))
 
     spec_b, spec_axes = batch_specs(spec, overrides)
     kp_steps = ilqr.static_kp_steps(spec_b)
@@ -202,6 +212,10 @@ def solve_batch_al_staged(spec: Spec, constraints, lam0, overrides, U0s,
     (frozen lanes never change); straggler lanes recompute the exact
     deterministic nb_iter solve.
     """
+    # Never exceed the caller's budget: a first stage longer than nb_iter
+    # would run MORE iterations than requested and return that, breaking the
+    # "identical results to solve_batch_al(..., nb_iter)" contract.
+    first_stage = min(int(first_stage), int(nb_iter))
     res1 = solve_batch_al(spec, constraints, lam0, overrides, U0s,
                           first_stage, lag_update_step, penalty,
                           scaling_factor, **kw)
@@ -331,7 +345,7 @@ def solve_batch_sharded(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
                                            bool(line_search), bool(early_stop),
                                            overrides=ov_names)
                 _fleet_cache[key] = solver
-            x0s = jnp.asarray(overrides.get("x0", overrides.get("q0")))
+            x0s = _fleet_x0s(spec, overrides, U0s)
             U0s = jnp.asarray(U0s)
             ov = {k: jnp.asarray(overrides[k]) for k in ov_names}
             res_specs = jax.tree_util.tree_map(

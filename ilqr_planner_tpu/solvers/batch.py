@@ -513,17 +513,17 @@ def _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, use_psi):
 @partial(jax.jit, static_argnames=("kp_idx", "nb_iter", "early_stop",
                                    "with_callback", "use_psi", "fast"))
 def _solve_impl(spec: Spec, Q, psi, u0, kp_idx, nb_iter, early_stop,
-                with_callback, use_psi, fast=False):
+                with_callback, use_psi, fast=False, cb_id=None):
     with jax.default_matmul_precision("float32"):
         if fast and not with_callback:
             return _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter,
                                     early_stop, use_psi)
         return _solve_body(spec, Q, psi, u0, kp_idx, nb_iter, early_stop,
-                           with_callback, use_psi)
+                           with_callback, use_psi, cb_id)
 
 
 def _solve_body(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, with_callback,
-                use_psi):
+                use_psi, cb_id=None):
     H, nx, nu = spec.horizon, spec.nx, spec.nu
     dtype = u0.dtype
     n_kp = len(kp_idx)
@@ -579,7 +579,8 @@ def _solve_body(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, with_callback,
         _, alpha, u_new = jax.lax.while_loop(ls_cond, ls_body, s0)
 
         if with_callback:
-            jax.debug.callback(_emit_progress, it + 1, cost0, alpha, ordered=True)
+            jax.debug.callback(_emit_progress, cb_id, it + 1, cost0, alpha,
+                               ordered=True)
 
         done = early_stop & (alpha * jnp.sqrt(jnp.sum(du * du)) < 1e-3)
         return (u_new, it + 1, done, cost0, alpha)
@@ -594,15 +595,12 @@ def _solve_body(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, with_callback,
     return BatchResult(u=u, cost=cost0, iterations=it)
 
 
-_progress_cb = None
-
-
-def _emit_progress(it, cost, alpha):
-    msg = f"Iteration {int(it)}, Cost: {float(cost):g}, alpha= {float(alpha):g}"
-    if _progress_cb is not None:
-        _progress_cb.notify(msg)
-    else:  # pragma: no cover
-        print(msg)
+# Callback registry shared with the recursive solver: each solve registers
+# its callback under a fresh integer id that flows through the jitted
+# computation as a TRACED scalar — concurrent solves with different
+# callbacks never interleave (the id is data, not shared module state).
+from ilqr_planner_tpu.solvers.ilqr import (_cb_registry,  # noqa: F401
+                                           _emit_progress, _register_cb)
 
 
 def _prep(spec, kp_idx, Q):
@@ -621,17 +619,23 @@ def solve(spec: Spec, kp_idx: Sequence[int], nb_iter: int, u0,
     u0: flattened [(H-1)*nu] initial controls. Q optionally overrides the
     sparse block-diagonal precision (BatchILQR.cpp:22 ctor).
     """
-    global _progress_cb
     kp_idx, Q = _prep(spec, kp_idx, Q)
     u0 = jnp.asarray(u0).reshape(-1)
     dummy_psi = jnp.zeros((u0.shape[0], 1), dtype=u0.dtype)
-    _progress_cb = callback
-    try:
+    if callback is None:
         return _solve_impl(spec, Q, dummy_psi, u0, kp_idx, int(nb_iter),
-                           bool(early_stop), callback is not None, False,
+                           bool(early_stop), False, False,
                            fast_supported(spec))
+    cb_id = _register_cb(callback)
+    try:
+        res = _solve_impl(spec, Q, dummy_psi, u0, kp_idx, int(nb_iter),
+                          bool(early_stop), True, False,
+                          fast_supported(spec),
+                          cb_id=jnp.asarray(cb_id, jnp.int32))
+        jax.block_until_ready(res)
+        return res
     finally:
-        _progress_cb = None
+        _cb_registry.pop(cb_id, None)
 
 
 def solve_cp(spec: Spec, psi, kp_idx: Sequence[int], nb_iter: int, u0,
@@ -639,14 +643,20 @@ def solve_cp(spec: Spec, psi, kp_idx: Sequence[int], nb_iter: int, u0,
              Q=None) -> BatchResult:
     """BatchILQRCP::solve — Gauss-Newton in the primitive weight space
     u = Psi w (BatchILQRCP.cpp:109-174). psi: [(H-1)*nu, K*nu]."""
-    global _progress_cb
     kp_idx, Q = _prep(spec, kp_idx, Q)
     u0 = jnp.asarray(u0).reshape(-1)
     psi = jnp.asarray(psi, dtype=u0.dtype)
-    _progress_cb = callback
-    try:
+    if callback is None:
         return _solve_impl(spec, Q, psi, u0, kp_idx, int(nb_iter),
-                           bool(early_stop), callback is not None, True,
+                           bool(early_stop), False, True,
                            fast_supported(spec))
+    cb_id = _register_cb(callback)
+    try:
+        res = _solve_impl(spec, Q, psi, u0, kp_idx, int(nb_iter),
+                          bool(early_stop), True, True,
+                          fast_supported(spec),
+                          cb_id=jnp.asarray(cb_id, jnp.int32))
+        jax.block_until_ready(res)
+        return res
     finally:
-        _progress_cb = None
+        _cb_registry.pop(cb_id, None)

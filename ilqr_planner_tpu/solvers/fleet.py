@@ -185,6 +185,9 @@ class _Consts:
         # fewer TPU loop iterations (the ~us/step launch overhead dominates
         # long horizons at small-to-mid batch; see docs/fleet_unroll_r03.log)
         self.unroll = 1
+        # backward implementation: 'auto' | 'xla' | 'pallas' |
+        # 'pallas_interpret' (see make_fleet_solver / _backward)
+        self.backward_impl = "auto"
 
 
 # ---------------------------------------------------------------------------
@@ -636,6 +639,7 @@ def _kp_residual(cc: "_Consts", sc: "_SubC", kp: dict, fkd, x):
     """(e [nq], fx [nt]) of one keypoint at its step (funcs.residual)."""
     n = sc.n
     if sc.kind in ("joint", "joint_time"):
+        # Unguarded Euclidean residual (AngularKeypoint.cpp:24-27).
         fx = list(x[:n])
         e = [_sub_(kp["mu"][a], x[a]) for a in range(n)]
     elif sc.kind == "point":
@@ -648,16 +652,17 @@ def _kp_residual(cc: "_Consts", sc: "_SubC", kp: dict, fkd, x):
         if sc.nb_deriv == 2:
             fx = fx + fkd["dp"] + fkd["dquat"]
         e = _posorn_residual_soa(sc, kp, fkd)
+        # Zero-state guard over the pos/orn part only (PosOrnKeypoint.cpp:29);
+        # SpacetimeKeypoint::diff computes the time residual unguarded
+        # (SpacetimeKeypoint.cpp:19-23). Mirrors funcs.residual.
+        zero_state = None
+        for v in fx:
+            t = (v == 0)
+            zero_state = t if zero_state is None else zero_state & t
+        e = [jnp.where(zero_state, 0.0, v) for v in e]
         if sc.time:
             fx = fx + [x[n - 1]]
             e = e + [_sub_(kp["mu"][sc.nt - 1], x[n - 1])]
-
-    # zero-state guard (PosOrnKeypoint.cpp:29 via funcs.residual)
-    zero_state = None
-    for v in fx:
-        t = (v == 0)
-        zero_state = t if zero_state is None else zero_state & t
-    e = [jnp.where(zero_state, 0.0, v) for v in e]
     return e, fx
 
 
@@ -1034,6 +1039,40 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
         p = [p[i] - _full(gx[i], p[i]) for i in range(n)]
         P = [[_add(P[i][j], gxx[i][j]) for j in range(n)] for i in range(n)]
 
+    # --- Pallas whole-sweep path: VMEM-resident (P, p) carry, streamed
+    # per-step inputs/outputs, dense keypoint Hessians only at the static
+    # keypoint steps (ops/pallas_kernels/segment_backward.py). ---
+    mode = getattr(cc, "backward_impl", "auto")
+    if mode != "xla" and al is None and cc.nb_deriv == 1 and not cc.time \
+            and m == n:
+        from ilqr_planner_tpu.ops.pallas_kernels.segment_backward import (
+            pallas_backward_supported, segment_backward_pallas)
+
+        interp = (mode == "pallas_interpret")
+        if (mode in ("pallas", "pallas_interpret")
+                or pallas_backward_supported(B, n, m, 1, False, False, dtype)):
+            like = X[0, 0]
+            inner_kps = sorted(k for k in cc.kp_at if k < H - 1)
+            lx_arr = lx_all[:H - 1]
+            if inner_kps:
+                gxx_rows, gx_rows = [], []
+                for k in inner_kps:
+                    _, gx_k, gxx_k = _kp_terms_at(cc, k, _rows(X[k]), True, ov)
+                    gxx_rows.append(_to_arr(
+                        [[_full(v, like) for v in row] for row in gxx_k]))
+                    gx_rows.append(jnp.stack(
+                        [_full(gx_k[i], like) for i in range(n)]))
+                idx = jnp.asarray(inner_kps)
+                lx_arr = lx_arr.at[idx].add(-jnp.stack(gx_rows))
+                gxx_arr = jnp.stack(gxx_rows)
+            else:
+                gxx_arr = jnp.zeros((0, n, n, B), dtype)
+            P_arr = _to_arr([[_full(v, like) for v in row] for row in P])
+            p_arr = jnp.stack([_full(v, like) for v in p])
+            return segment_backward_pallas(
+                P_arr, p_arr, L2[:H - 1], lx_arr, U, gxx_arr,
+                tuple(inner_kps), cc.dt, cc.Rt, interpret=interp)
+
     def al_slice(k):
         """(cx, cu, Ik, g, lam) nested/lane lists at one unrolled step."""
         if al is None:
@@ -1189,7 +1228,8 @@ def _run_trials(cc: "_Consts", a_sched, X, U, cost0, Ks, ds, x0, ovb,
 
 
 def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
-                      early_stop: bool = True, overrides=(), unroll: int = 1):
+                      early_stop: bool = True, overrides=(), unroll: int = 1,
+                      backward: str = "auto"):
     """Build a jitted lane-major fleet solve: (x0s [B,n], U0s [B,H-1,nu]
     [, ov]) -> ILQRResult with a leading scenario axis. The spec must be
     concrete (not traced); its arrays fold into the program as constants.
@@ -1198,9 +1238,17 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
     vary per scenario; the solve then takes a third argument, a dict of
     arrays with leading scenario axis (mu [B,H,nt], prec [B,H,nQ,nQ],
     pos_radius [B,H], orn_thresh [B,H,3]).
+
+    backward: 'auto' (Pallas whole-sweep kernel when the workload and
+    backend support it, else the XLA segmented scan), 'xla', 'pallas'
+    (force), or 'pallas_interpret' (force, interpreter mode — CPU tests).
     """
+    if backward not in ("auto", "xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"backward must be auto/xla/pallas/pallas_interpret,"
+                         f" got {backward!r}")
     cc = _Consts(spec, overrides)
     cc.unroll = int(unroll)
+    cc.backward_impl = backward
     n, m, H = cc.n, cc.m, cc.H
     a_sched = _alpha_schedule(cc, line_search)
     ov_names = tuple(overrides)
@@ -1294,9 +1342,17 @@ def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
 
     def active_sets(X, U, lam, penalty):
         """Penalty-scaled active sets + violations over the whole horizon
-        (AL-ILQR.cpp:21-44, captured per accepted rollout cpp:189-191)."""
+        (AL-ILQR.cpp:21-44, captured per accepted rollout cpp:189-191).
+
+        HIGHEST precision on the violation einsum: g drives active-set
+        membership and the dual updates lambda = max(0, lambda + rho*g), and
+        AL converges exactly where g -> 0 — the TPU's default bf16 matmul
+        passes would put ~1e-2 relative error right there (this is the only
+        traced matmul in the fleet module; everything else is unrolled
+        scalar algebra unaffected by matmul precision)."""
         XU = jnp.concatenate([X[:-1], U], axis=1)          # [H-1, n+m, B]
-        g = jnp.einsum("kcj,kjb->kcb", A_j, XU) - b_j[:, :, None]
+        g = jnp.einsum("kcj,kjb->kcb", A_j, XU,
+                       precision=jax.lax.Precision.HIGHEST) - b_j[:, :, None]
         inactive = (g < 0) & (lam == 0)
         Ik = jnp.where(inactive, 0.0, 1.0).astype(X.dtype)
         return penalty[None, None, :] * Ik, g

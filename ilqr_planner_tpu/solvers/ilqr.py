@@ -206,22 +206,23 @@ def static_kp_steps(spec: Spec):
 
 
 @partial(jax.jit, static_argnames=("nb_iter", "line_search", "early_stop",
-                                   "with_callback", "pscan", "kp_steps"))
+                                   "with_callback", "pscan", "kp_steps",
+                                   "guard"))
 def _solve_impl(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
                 with_callback: bool, pscan: bool = False, kp_steps=None,
-                cb_id=None):
+                cb_id=None, guard: bool = False):
     # TPU MXU default matmul precision is bfloat16, whose 8-bit mantissa
     # diverges the Gauss-Newton iteration (NaN after convergence); force full
     # f32 accumulation for every dot traced inside the solve. Matrices here
     # are tiny (<=15 dims), so the 3/6-pass penalty is irrelevant.
     with jax.default_matmul_precision("float32"):
         return _solve_body(spec, U0, nb_iter, line_search, early_stop,
-                           with_callback, pscan, kp_steps, cb_id)
+                           with_callback, pscan, kp_steps, cb_id, guard)
 
 
 def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
                 with_callback: bool, pscan: bool = False, kp_steps=None,
-                cb_id=None):
+                cb_id=None, guard: bool = False):
     if not with_callback and kp_steps is not None:
         # Fast path: identical numerics, restructured control flow and
         # FK-sparse evaluation (see _solve_body_sparse). The while_loop path
@@ -229,7 +230,7 @@ def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: boo
         # notifications mirror the reference's logging — and for callers
         # that cannot provide static keypoint steps.
         return _solve_body_sparse(spec, U0, nb_iter, line_search, early_stop,
-                                  pscan, kp_steps)
+                                  pscan, kp_steps, guard)
     dtype = spec.x0.dtype
     H, nu, nx = spec.horizon, spec.nu, spec.nx
 
@@ -259,12 +260,33 @@ def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: boo
         _, _, alpha, out = jax.lax.while_loop(ls_cond, ls_body, s0)
         Xn, fXn, Un, Asn, Bsn, Jsn, costn, du_acc = out
 
+        if guard:
+            # Guarded mode (off by default for reference parity): when the
+            # line search floors out without a strictly-improving finite
+            # trial, KEEP the incumbent trajectory and freeze, instead of
+            # the reference's unconditional adoption of the last (possibly
+            # NaN / worse) trial (ILQRRecursive.cpp:101-157) — the behavior
+            # that lets the 2nd-order sqrt(dt) workload walk into -nan
+            # (POS_ORN_TIME_SYS_2ND.ipynb cell 11).
+            accepted = (costn < cost0) & ~jnp.isnan(costn)
+            keep = lambda o, n: jnp.where(accepted, n, o)  # noqa: E731
+            Xn, fXn, Un = keep(X, Xn), keep(fX, fXn), keep(U, Un)
+            Asn = jax.tree_util.tree_map(keep, As, Asn)
+            Bsn = jax.tree_util.tree_map(keep, Bs, Bsn)
+            Jsn = keep(Js, Jsn)
+            costn = keep(cost0, costn)
+            guard_frozen = ~accepted
+        else:
+            guard_frozen = jnp.asarray(False)
+
         if with_callback:
             jax.debug.callback(
                 _emit_progress, cb_id, it + 1, costn, alpha, ordered=True
             )
 
-        done = early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3) & (costn < 1e-3)
+        done = (early_stop
+                & (alpha * jnp.sqrt(du_acc) < 1e-3)
+                & (costn < 1e-3)) | guard_frozen
         return (Xn, fXn, Un, Asn, Bsn, Jsn, costn, Ks, ds, it + 1, done,
                 alpha, du_acc)
 
@@ -364,7 +386,8 @@ def _grads_sparse(spec: Spec, X, U, kp_steps):
 
 
 def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
-                       early_stop: bool, pscan: bool, kp_steps):
+                       early_stop: bool, pscan: bool, kp_steps,
+                       guard: bool = False):
     """Control-flow- and FK-restructured solve with identical numerics.
 
     Three restructurings vs the reference-shaped while_loop path (results
@@ -428,9 +451,19 @@ def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
             trial, (jnp.asarray(False), dummy), alphas)
         Xn, Un, costn, du_acc, alpha = picked
 
+        if guard:
+            # Guarded mode (see _solve_body): no finite improving trial ->
+            # keep the incumbent and freeze, instead of adopting the
+            # floor-alpha trial (ILQRRecursive.cpp:101-157 quirk).
+            keep = lambda o, n: jnp.where(acc, n, o)  # noqa: E731
+            Xn, Un, costn = keep(X, Xn), keep(U, Un), keep(cost0, costn)
+            guard_frozen = ~acc
+        else:
+            guard_frozen = jnp.asarray(False)
+
         new = (Xn, Un, costn, Ks_n, ds_n, it + 1,
                done | (early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)
-                       & (costn < 1e-3)),
+                       & (costn < 1e-3)) | guard_frozen,
                alpha, du_acc)
         old = (X, U, cost0, Ks, ds, it, done, alpha_l, du_l)
         carry = jax.tree_util.tree_map(
@@ -481,6 +514,7 @@ def solve(
     early_stop: bool = True,
     callback: Optional[object] = None,
     backward: str = "scan",
+    guard: bool = False,
 ) -> ILQRResult:
     """Solve the OCP from initial control sequence U0 [H-1, nu].
 
@@ -495,6 +529,14 @@ def solve(
     cost-to-go quadratics with an O(log H)-depth associative scan
     (ops.pscan) — faster for long horizons at small batch, numerically
     equal up to the 1e-6 gain regularization.
+
+    guard: opt-in divergence guard (default off for reference parity).
+    The reference line search adopts its last trial unconditionally when
+    every alpha down to the 1e-3 floor fails — including NaN trials, which
+    is how the 2nd-order sqrt(dt) workload diverges to -nan
+    (POS_ORN_TIME_SYS_2ND.ipynb cell 11). With guard=True a floored-out
+    line search keeps the incumbent trajectory and stops: the result is
+    always the best finite iterate, never worse than the initial rollout.
     """
     U0 = jnp.asarray(U0)
     if U0.shape != (spec.horizon - 1, spec.nu):
@@ -504,13 +546,15 @@ def solve(
     if callback is None:
         return _solve_impl(spec, U0, int(nb_iter), bool(line_search),
                            bool(early_stop), False,
-                           backward == "pscan", static_kp_steps(spec))
+                           backward == "pscan", static_kp_steps(spec),
+                           guard=bool(guard))
     cb_id = _register_cb(callback)
     try:
         res = _solve_impl(spec, U0, int(nb_iter), bool(line_search),
                           bool(early_stop), True,
                           backward == "pscan", static_kp_steps(spec),
-                          cb_id=jnp.asarray(cb_id, jnp.int32))
+                          cb_id=jnp.asarray(cb_id, jnp.int32),
+                          guard=bool(guard))
         # Dispatch is async; the ordered debug callbacks flush by result
         # time, so block before dropping the registry entry.
         jax.block_until_ready(res)

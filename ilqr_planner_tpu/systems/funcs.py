@@ -168,16 +168,22 @@ def residual(spec: Spec, fx, k):
         return jnp.concatenate(es, axis=-1)
 
     if spec.kind.startswith("posorn"):
-        core = _posorn_residual(spec, fx[: spec.nt - 1] if spec.time_optimal else fx, k)
+        fx_po = fx[: spec.nt - 1] if spec.time_optimal else fx
+        core = _posorn_residual(spec, fx_po, k)
+        # Zero-state guard: exists ONLY in PosOrnKeypoint::diff
+        # (PosOrnKeypoint.cpp:29, `if (!state.isZero())`) and covers only the
+        # pos/orn residual — SpacetimeKeypoint::diff (cpp:19-23) computes the
+        # time residual on the unguarded tail, and AngularKeypoint::diff
+        # (cpp:24-27) has no guard at all.
+        zero_state = jnp.all(fx_po == 0)
+        core = jnp.where(zero_state, jnp.zeros_like(core), core)
         if spec.time_optimal:
             r_t = spec.mu[k][-1] - fx[-1]
             core = jnp.concatenate([core, r_t[None]], axis=-1)
         e = core
-    else:  # joint / joint_time / point: plain Euclidean residual
+    else:  # joint / joint_time / point: plain unguarded Euclidean residual
         e = spec.mu[k] - fx
 
-    zero_state = jnp.all(fx == 0)
-    e = jnp.where(zero_state, jnp.zeros_like(e), e)
     return e * spec.kp_mask[k]
 
 

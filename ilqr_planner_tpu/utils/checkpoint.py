@@ -28,8 +28,19 @@ def save_checkpoint(path: str, state) -> None:
 
 def load_checkpoint(path: str, like):
     """Load a checkpoint saved by save_checkpoint into the structure of
-    `like` (a pytree with the same shape as the saved state)."""
+    `like` (a pytree with the same structure as the saved state).
+
+    Raises ValueError when `like`'s treedef does not match the one stored in
+    the checkpoint — blind unflattening would silently mis-assign leaves.
+    """
     with np.load(path, allow_pickle=False) as data:
         leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
+        stored = json.loads(bytes(data["__treedef__"]).decode())
     _, treedef = jax.tree_util.tree_flatten(like)
+    if str(treedef) != stored:
+        raise ValueError(
+            "checkpoint structure mismatch:\n"
+            f"  stored: {stored}\n"
+            f"  like:   {treedef}"
+        )
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -122,3 +122,43 @@ def test_jac_pseudo_inverse():
     # unweighted variant is the Moore-Penrose right inverse
     np.testing.assert_allclose(np.asarray(jac_pseudo_inverse(J)),
                                np.linalg.pinv(J), atol=1e-10)
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    """load_checkpoint validates the stored treedef instead of blindly
+    unflattening into `like` (round-3 verdict weak item #7)."""
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, {"U": np.zeros(3), "cost": np.float64(1.0)})
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_checkpoint(path, {"U": np.zeros(3), "renamed": np.float64(1.0)})
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_checkpoint(path, [np.zeros(3), np.float64(1.0)])
+    ok = load_checkpoint(path, {"U": np.ones(3), "cost": np.float64(9.0)})
+    np.testing.assert_array_equal(ok["U"], np.zeros(3))
+
+
+def test_compile_meter_attributes_phases():
+    """CompileMeter captures trace/lower/backend-compile durations for a
+    fresh jit and near-zero for a cached call (round-3 verdict item 3)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ilqr_planner_tpu.utils.compilemeter import CompileMeter
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x @ x).sum()
+
+    x = jnp.ones((32, 32))
+    t0 = _time.time()
+    with CompileMeter() as cm:
+        f(x).block_until_ready()
+    rep = cm.report(wall_s=_time.time() - t0)
+    assert rep["compiles"] >= 1
+    assert rep["xla_compile_s"] > 0
+    assert rep["other_s"] >= 0
+    with CompileMeter() as cm2:
+        f(x).block_until_ready()
+    assert cm2.report()["compiles"] == 0

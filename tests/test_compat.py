@@ -217,3 +217,42 @@ def test_concurrent_callbacks_do_not_interleave(tutorial):
         assert len(msgs) == iters[k], (k, msgs)
         got_iters = [int(m.split("Iteration ")[1].split(",")[0]) for m in msgs]
         assert got_iters == list(range(1, iters[k] + 1))
+
+
+def test_concurrent_batch_callbacks_do_not_interleave(tutorial):
+    """Round-3 verdict: the batch solvers kept a module-global callback slot
+    after ilqr got the traced-id registry. Two threaded BatchILQRCP/BatchILQR
+    solves with different callbacks must each receive exactly their own
+    iteration stream (early_stop=False pins the counts)."""
+    import threading
+
+    _, sys_, horizon, dof, _, _, _ = tutorial
+    K = 2
+    psi = primitives.build_psi_unitstep(horizon - 1, K)
+    PSI = np.kron(psi, np.identity(dof))
+    u0 = np.zeros(dof * (horizon - 1))
+    iters = {"cp": 3, "batch": 5}
+    cbs = {k: RecordingCB() for k in iters}
+    errs = []
+
+    def run(k):
+        try:
+            if k == "cp":
+                BatchILQRCP(sys_, PSI).solve(iters[k], u0, False, cbs[k])
+            else:
+                from PyLQR.solver import BatchILQR
+                BatchILQR(sys_).solve(iters[k], u0, False, cbs[k])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(k,)) for k in iters]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    for k in iters:
+        msgs = cbs[k].messages
+        assert len(msgs) == iters[k], (k, msgs)
+        got_iters = [int(m.split("Iteration ")[1].split(",")[0]) for m in msgs]
+        assert got_iters == list(range(1, iters[k] + 1))

@@ -240,3 +240,40 @@ def test_al_staged_equals_direct(spec, al_setup):
                                atol=1e-12)
     np.testing.assert_array_equal(np.asarray(staged.iterations),
                                   np.asarray(direct.iterations))
+
+
+def test_al_staged_clamps_first_stage_to_budget(spec, al_setup):
+    """nb_iter below the default first_stage must not over-run the budget:
+    the staged solve clamps first_stage = min(first_stage, nb_iter) and
+    returns exactly the direct nb_iter solve (advisor round-3 finding)."""
+    from ilqr_planner_tpu.parallel import solve_batch_al, solve_batch_al_staged
+
+    cons, b = al_setup
+    B = 3
+    ov = _scenarios(spec, B, seed=11)
+    U0s = np.zeros((B, 99, 7))
+    direct = solve_batch_al(spec, cons, b, ov, U0s, 6, 5, 0.25, 1.1)
+    staged = solve_batch_al_staged(spec, cons, b, ov, U0s, 6, 5, 0.25, 1.1,
+                                   first_stage=30, bucket=2)
+    np.testing.assert_array_equal(np.asarray(staged.iterations),
+                                  np.asarray(direct.iterations))
+    assert int(np.max(np.asarray(staged.iterations))) <= 6
+    np.testing.assert_allclose(np.asarray(staged.U), np.asarray(direct.U),
+                               atol=1e-12)
+
+
+def test_fleet_dispatch_keypoint_only_overrides(spec):
+    """Overrides carrying only keypoint leaves (no x0/q0) must work on both
+    paths — the fleet path broadcasts the spec's own x0 over the batch
+    (advisor round-3 finding: this used to crash with jnp.asarray(None))."""
+    B = 3
+    rng = np.random.default_rng(13)
+    mu_b = np.broadcast_to(np.asarray(spec.mu), (B,) + spec.mu.shape).copy()
+    mu_b[:, 49, :3] += 0.02 * rng.normal(size=(B, 3))
+    U0s = np.zeros((B, 99, 7))
+    fleet = solve_batch(spec, {"mu": mu_b}, U0s, 8)
+    ref = solve_batch(spec, {"mu": mu_b}, U0s, 8, prefer_fleet=False)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-6)

@@ -1,0 +1,121 @@
+"""Pallas whole-sweep backward (interpret mode) vs the XLA fleet backward.
+
+The kernel must reproduce the segmented-scan backward's gains exactly (same
+recursion, same elimination order) and the full solve must agree lane-by-
+lane on the flagship workload.
+"""
+
+import numpy as np
+import pytest
+
+from ilqr_planner_tpu.models import Robot, chain_from_urdf
+from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
+from ilqr_planner_tpu.systems.keypoints import AngularKeypoint, PosOrnKeypoint
+from ilqr_planner_tpu.systems.spec import make_spec
+
+URDF = "/root/reference/pylqr_planner/Tutorials/model.urdf"
+Q0 = np.array([0.62991112, -0.2329776, -0.01423721, -1.70254115, 0.06251303,
+               1.50592777, 0.71771416])
+T1 = ([0.554121212377707, -0.01575049935289518, 0.38295604872511507],
+      [0.014042440828406944, 0.915047647731553, 0.4024820607528928,
+       0.022333898196169735])
+T2 = ([0.254121212377707, -0.07575049935289518, 0.13170744424127526],
+      [0.029927010072216945, 0.9121514607332729, 0.4087591864532181,
+       0.00011933313484481926])
+H = 40
+B = 128  # one (1, 128) lane tile — interpret mode is slow
+
+
+@pytest.fixture(scope="module")
+def panda64():
+    return Robot.from_chain(chain_from_urdf(URDF, "panda_link0", "panda_tip",
+                                            dtype=np.dtype(np.float64)))
+
+
+def _spec_posorn(robot):
+    kps = [PosOrnKeypoint(*T1, np.diag([1, 1, 1, .1, .1, .1]), H // 2 - 1),
+           PosOrnKeypoint(*T2, np.diag([1, 1, 1, .1, .1, .1]), H - 1)]
+    qmax = Q0 + 0.4  # tight enough that limit penalties go live
+    return make_spec("posorn", robot, kps, np.ones(7) * 1e-5, H, 1, dt=0.1,
+                     q0=Q0, q_max=qmax, q_min=Q0 - 0.4, dtype=np.float64)
+
+
+def _batch(B, seed=0):
+    rng = np.random.default_rng(seed)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(B, 7))
+    U0s = np.zeros((B, H - 1, 7))
+    return q0s, U0s
+
+
+def test_pallas_backward_single_sweep_exact(panda64):
+    """One backward sweep, kernel vs XLA scan, on a limit-active trajectory:
+    agreement to f64 reordering noise (~1e-11). (The full SOLVE below can't
+    pin Ks this tightly: the limit penalty's active-set indicator x > q_max
+    is discontinuous, so ulp differences flip activation on boundary lanes
+    across iterations and the final-iteration gains jump ~1e-6 while cost/U
+    stay at 1e-10 — inherent to the problem, not the kernel.)"""
+    import jax.numpy as jnp
+
+    from ilqr_planner_tpu.solvers import fleet
+
+    spec = _spec_posorn(panda64)
+    cc = fleet._Consts(spec)
+    rng = np.random.default_rng(0)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(B, 7))
+    steps = np.concatenate([q0s[None], 0.01 * rng.normal(size=(H - 1, B, 7))])
+    X = jnp.asarray(np.cumsum(steps, axis=0).transpose(0, 2, 1))  # [H, n, B]
+    U = jnp.asarray(0.05 * rng.normal(size=(H - 1, 7, B)))
+    cc.backward_impl = "xla"
+    K1, d1 = fleet._backward(cc, X, U)
+    cc.backward_impl = "pallas_interpret"
+    K2, d2 = fleet._backward(cc, X, U)
+    assert float(jnp.abs(K1 - K2).max()) < 1e-10
+    assert float(jnp.abs(d1 - d2).max()) < 1e-10
+
+
+def test_pallas_backward_matches_xla_flagship(panda64):
+    spec = _spec_posorn(panda64)
+    q0s, U0s = _batch(B)
+    ref = make_fleet_solver(spec, 6, backward="xla")(q0s, U0s)
+    pal = make_fleet_solver(spec, 6, backward="pallas_interpret")(q0s, U0s)
+    np.testing.assert_allclose(np.asarray(pal.cost), np.asarray(ref.cost),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(pal.U), np.asarray(ref.U),
+                               atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(pal.iterations),
+                                  np.asarray(ref.iterations))
+
+
+def test_pallas_backward_matches_xla_joint_no_inner_kp(panda64):
+    """Joint kind, single terminal keypoint: the no-inner-keypoint path
+    (empty gxx stack, one unbroken segment)."""
+    kps = [AngularKeypoint(Q0 + 0.3, np.eye(7), H - 1)]
+    qmax = np.ones(7) * np.pi * 10
+    spec = make_spec("joint", panda64, kps, np.ones(7) * 1e-5, H, 1, dt=0.1,
+                     q0=Q0, q_max=qmax, q_min=-qmax, dtype=np.float64)
+    q0s, U0s = _batch(B, seed=2)
+    ref = make_fleet_solver(spec, 5, backward="xla")(q0s, U0s)
+    pal = make_fleet_solver(spec, 5, backward="pallas_interpret")(q0s, U0s)
+    np.testing.assert_allclose(np.asarray(pal.cost), np.asarray(ref.cost),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(pal.U), np.asarray(ref.U),
+                               atol=1e-10)
+
+
+def test_pallas_backward_multi_inner_keypoints(panda64):
+    """Three inner keypoints incl. adjacent ones: exercises empty segments
+    between static keypoint steps."""
+    kps = [PosOrnKeypoint(*T1, np.diag([1, 1, 1, .1, .1, .1]), 10),
+           PosOrnKeypoint(*T1, np.diag([1, 1, 1, .1, .1, .1]), 11),
+           PosOrnKeypoint(*T2, np.diag([1, 1, 1, .1, .1, .1]), 25),
+           PosOrnKeypoint(*T2, np.diag([1, 1, 1, .1, .1, .1]), H - 1)]
+    qmax = np.ones(7) * np.pi * 10
+    spec = make_spec("posorn", panda64, kps, np.ones(7) * 1e-5, H, 1, dt=0.1,
+                     q0=Q0, q_max=qmax, q_min=-qmax, dtype=np.float64)
+    q0s, U0s = _batch(B, seed=3)
+    ref = make_fleet_solver(spec, 4, backward="xla")(q0s, U0s)
+    pal = make_fleet_solver(spec, 4, backward="pallas_interpret")(q0s, U0s)
+    np.testing.assert_allclose(np.asarray(pal.cost), np.asarray(ref.cost),
+                               rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(pal.U), np.asarray(ref.U),
+                               atol=1e-10)

@@ -170,3 +170,67 @@ def test_posorn_time_2nd_order_runs_without_crashing(panda):
     # the same NaN-reject + alpha floor; divergence may still stall progress)
     assert np.isfinite(np.asarray(res.U)).all() or np.isnan(float(res.cost))
     assert res.X.shape == (H, 15)
+
+
+def _timeopt_2nd_workload(panda, H=50):
+    """The exact POS_ORN_TIME_SYS_2ND.ipynb workload (Panda from zero
+    configuration, two SpacetimeKeypoints, rfactor 1e-5): the reference's
+    stored cell-11 output walks through costs 3.66311, 2.92436, 2.91514 and
+    then diverges to -nan for the rest of its 20 iterations."""
+    T1 = ([0.554121212377707, -0.01575049935289518, 0.38295604872511507],
+          [0.014042440828406944, 0.915047647731553, 0.4024820607528928,
+           0.022333898196169735])
+    T2 = ([0.254121212377707, -0.07575049935289518, 0.13170744424127526],
+          [0.029927010072216945, 0.9121514607332729, 0.4087591864532181,
+           0.00011933313484481926])
+    Qt1 = np.diag([1, 1, 1, .1, .1, .1, 1, 1, 1, 0, 0, 0, .1])
+    Qt2 = np.diag([1, 1, 1, .1, .1, .1, 1, 1, 1, .1, .1, .1, .1])
+    kps = [SpacetimeKeypoint(T1[0], T1[1], Qt1, H // 2 - 1, 2.5,
+                             dposition=[0, 0, 0],
+                             dorientation=[0, 0, 0, 0]),
+           SpacetimeKeypoint(T2[0], T2[1], Qt2, H - 1, 5.0,
+                             dposition=[0, 0, 0],
+                             dorientation=[0, 0, 0, 0])]
+    qmax = np.ones(7) * np.pi * 10
+    dqmax = np.ones(7) * 10.0
+    spec = make_spec("posorn_time", panda, kps, np.ones(8) * 1e-5, H, 2,
+                     q0=np.zeros(7), q_max=qmax, q_min=-qmax,
+                     dq_max=dqmax, dq_min=-dqmax)
+    U0 = np.tile(np.array([0.0] * 7 + [0.01]), (H - 1, 1))
+    return spec, U0
+
+
+def test_guarded_mode_contains_sqrt_dt_divergence(panda):
+    """Round-3 verdict item 6: guard=True must reach a finite cost <= the
+    reference's last pre-divergence cost (2.91514) on the exact workload
+    where the reference records `Cost: -nan` (cell 11), while guard=False
+    keeps parity with the divergence-path behavior."""
+    spec, U0 = _timeopt_2nd_workload(panda)
+    res = ilqr.solve(spec, U0, 20, guard=True)
+    cost = float(res.cost)
+    assert np.isfinite(cost)
+    assert cost <= 2.91514
+    assert np.isfinite(np.asarray(res.U)).all()
+    assert np.isfinite(np.asarray(res.X)).all()
+    # guard never returns worse than the initial rollout
+    res1 = ilqr.solve(spec, U0, 1, guard=True, early_stop=False)
+    assert cost <= float(res1.cost) + 1e-12
+
+
+def test_guard_matches_default_on_healthy_workload(panda):
+    """guard only changes the floored-out branch: on a healthy workload the
+    two modes agree to floating-point noise (near convergence the reference
+    floors out and adopts a tiny-alpha trial the guard instead rejects —
+    a ~1e-6 control difference at the same cost), and the guarded cost is
+    never worse."""
+    kps = [PosOrnKeypoint([0.554, -0.0158, 0.383],
+                          [0.014, 0.915, 0.4025, 0.0223],
+                          np.diag([1, 1, 1, .1, .1, .1]), 39)]
+    qmax = np.ones(7) * np.pi * 10
+    spec = make_spec("posorn", panda, kps, np.ones(7) * 1e-5, 40, 1, dt=0.1,
+                     q0=Q0, q_max=qmax, q_min=-qmax)
+    U0 = np.zeros((39, 7))
+    a = ilqr.solve(spec, U0, 10)
+    b = ilqr.solve(spec, U0, 10, guard=True)
+    np.testing.assert_allclose(np.asarray(a.U), np.asarray(b.U), atol=1e-5)
+    assert float(b.cost) <= float(a.cost) * (1 + 1e-6)
