@@ -45,6 +45,7 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
+    """True when the native C++ URDF extractor library is built/loadable."""
     return _load() is not None
 
 

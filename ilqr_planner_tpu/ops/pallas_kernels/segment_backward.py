@@ -23,11 +23,12 @@ Scope: the first-order LTI kinds (A = I, B = dt I, m = n —
 PosOrnPlannerSys.cpp:119-123 and the joint/point kinds), no AL terms.
 Everything else stays on the XLA segmented-scan path.
 
-Math is the exact fleet recursion: Quu = dt^2 P + diag(Rt), Qux = dt P,
-Qxx = stage + P, Qu = Rt u + dt p, Qx = lx + p; gains from the
-1e-6-regularized stacked Gauss-Jordan solve (ILQRRecursive.cpp:89-91,
-fleet._solve_aug); UNregularized value recursion (cpp:93-94,
-fleet._gains_value).
+Per-step math: the exact algebraic reduction of the reference recursion
+for the first-order LTI case (see fleet._gains_value_lti1 and the in-kernel
+comment): with M = dt^2 P + diag(Rt + reg), the regularized gains and the
+UNregularized value recursion (ILQRRecursive.cpp:89-94) collapse to a
+Cholesky inverse of M plus diagonal scalings — the large mutually-
+cancelling P-dependent products are never formed.
 
 Lane layout: scenarios struct-of-arrays with the lane axis as trailing
 (LS, 128) dims; every small-matrix element is one VPU tile, every scalar op
@@ -44,7 +45,13 @@ __all__ = ["segment_backward_pallas", "pallas_backward_supported"]
 
 def _pick_ls(B):
     """Largest sublane count in (8, 4, 2, 1) whose (LS*128)-lane tile
-    divides B; None when B is not a multiple of 128."""
+    divides B; None when B is not a multiple of 128.
+
+    (Measured alternatives, kept for the record: LS = B/128 with G = 1
+    avoids the wrapper transposes but OOMs scoped VMEM at LS = 72, and a
+    B-minor output layout via strided DMA slices faulted the TPU worker.
+    The ~30 us/time-step Mosaic compute wall was identical at every
+    op-count/layout variant tried — see docs/round4_notes.md.)"""
     for ls in (8, 4, 2, 1):
         if B % (ls * 128) == 0:
             return ls
@@ -128,58 +135,76 @@ def _kernel(params_ref, P0_ref, p0_ref, steps_ref, gxx_ref, kd_ref,
             stage = [[gxxbuf[i, j] + (l2[i] if i == j else 0.0)
                       for j in range(n)] for i in range(n)]
 
-        # Q terms (first order: A = I, B = dt I; fleet._q_terms final branch)
-        Qxx = [[P[i][j] + stage[i][j]
-                if stage[i][j] is not None else P[i][j]
-                for j in range(n)] for i in range(n)]
-        Qux = [[dt * P[i][j] for j in range(n)] for i in range(n)]
-        Qu = [r[i] * ut[i] + dt * p[i] for i in range(n)]
-        Qx = [lx[i] + p[i] for i in range(n)]
         dt2 = dt * dt
+        inv_dt = 1.0 / dt
+        inv_dt2 = inv_dt * inv_dt
+        rr_ = [r[i] + reg for i in range(n)]
 
-        # regularized stacked Gauss-Jordan solve: M [K | d]aug = [Qux | Qu]
-        # (fleet._solve_aug — static-index elimination, no pivoting; Quu is
-        # SPD + the reference 1e-6 ridge, ILQRRecursive.cpp:89)
-        A = [[dt2 * P[i][j] + ((r[i] + reg) if i == j else 0.0)
+        # Exact algebraic reduction of the reference recursion for the
+        # first-order LTI case. With M = Quu + reg I = dt^2 P + diag(rr_)
+        # and K/d from the regularized solve (ILQRRecursive.cpp:89-91),
+        # substituting M K = -Qux, M d = -Qu into the UNregularized value
+        # recursion (cpp:93-94) collapses every P-dependent product:
+        #   K  = (M^-1 diag(rr_) - I) / dt
+        #   d  = -M^-1 Qu,      Qu = Rt u + dt p
+        #   P1 = stage + (diag(rr_) - diag(rr_) M^-1 diag(rr_)) / dt^2
+        #        - reg K^T K
+        #   p1 = lx - (Rt u + diag(rr_) d) / dt - reg K^T d
+        # Identical math to fleet._gains_value_lti1, numerically MORE
+        # stable (the large mutually-cancelling terms are never formed).
+        M = [[dt2 * P[i][j] + (rr_[i] if i == j else 0.0) for j in range(n)]
+             for i in range(n)]
+
+        # Cholesky M = L L^T (SPD + ridge), then Minv by substitution on I.
+        L = [[None] * n for _ in range(n)]
+        Li = [None] * n
+        for j in range(n):
+            acc = M[j][j]
+            for k in range(j):
+                acc = acc - L[j][k] * L[j][k]
+            Ljj = jnp.sqrt(acc)
+            L[j][j] = Ljj
+            Li[j] = 1.0 / Ljj
+            for i in range(j + 1, n):
+                acc = M[i][j]
+                for k in range(j):
+                    acc = acc - L[i][k] * L[j][k]
+                L[i][j] = acc * Li[j]
+        Minv = [[None] * n for _ in range(n)]
+        for c in range(n):
+            y = [None] * n
+            for i in range(c, n):
+                if i == c:
+                    y[i] = Li[c]
+                else:
+                    y[i] = -sum(L[i][k] * y[k] for k in range(c, i)) * Li[i]
+            for i in range(n - 1, c - 1, -1):
+                acc = y[i]
+                for k in range(i + 1, n):
+                    acc = acc - L[k][i] * Minv[k][c]
+                Minv[i][c] = acc * Li[i]
+            for i in range(c, n):
+                Minv[c][i] = Minv[i][c]
+
+        K = [[(Minv[i][j] * rr_[j] - (1.0 if i == j else 0.0)) * inv_dt
               for j in range(n)] for i in range(n)]
-        X = [[Qux[i][j] for j in range(n)] + [Qu[i]] for i in range(n)]
-        for k in range(n):
-            piv = 1.0 / A[k][k]
-            A[k] = [a * piv for a in A[k]]
-            X[k] = [a * piv for a in X[k]]
-            for rr in range(n):
-                if rr == k:
-                    continue
-                fac = A[rr][k]
-                A[rr] = [a - fac * b for a, b in zip(A[rr], A[k])]
-                X[rr] = [a - fac * b for a, b in zip(X[rr], X[k])]
-        K = [[-X[i][j] for j in range(n)] for i in range(n)]
-        d = [-X[i][n] for i in range(n)]
+        Qu = [r[i] * ut[i] + dt * p[i] for i in range(n)]
+        d = [-sum(Minv[i][k] * Qu[k] for k in range(n)) for i in range(n)]
 
-        # UNregularized value recursion (ILQRRecursive.cpp:93-94):
-        # P1 = Qxx + K^T Quu K + K^T Qux + Qux^T K;  Quu = dt^2 P + diag(r)
-        QuuK = [[sum((dt2 * P[i][s] + (r[i] if i == s else 0.0)) * K[s][j]
-                     for s in range(n)) for j in range(n)] for i in range(n)]
-        Quud = [sum((dt2 * P[i][s] + (r[i] if i == s else 0.0)) * d[s]
-                    for s in range(n)) for i in range(n)]
-        # P1 is symmetric: build upper triangle, mirror the rest.
         P1 = [[None] * n for _ in range(n)]
         for i in range(n):
             for j in range(i, n):
-                acc = Qxx[i][j]
-                for s in range(n):
-                    acc = acc + K[s][i] * QuuK[s][j]
-                for s in range(n):
-                    acc = acc + K[s][i] * Qux[s][j] + Qux[s][i] * K[s][j]
+                acc = ((rr_[i] if i == j else 0.0)
+                       - rr_[i] * Minv[i][j] * rr_[j]) * inv_dt2
+                acc = acc - reg * sum(K[k][i] * K[k][j] for k in range(n))
+                if stage[i][j] is not None:
+                    acc = acc + stage[i][j]
                 P1[i][j] = acc
                 if j != i:
                     P1[j][i] = acc
-        p1 = []
-        for i in range(n):
-            acc = Qx[i]
-            for s in range(n):
-                acc = acc + K[s][i] * (Quud[s] + Qu[s]) + Qux[s][i] * d[s]
-            p1.append(acc)
+        p1 = [lx[i] - (r[i] * ut[i] + rr_[i] * d[i]) * inv_dt
+              - reg * sum(K[k][i] * d[k] for k in range(n))
+              for i in range(n)]
 
         # stream out K, d (deferred wait: the slot's previous store was
         # issued two steps ago at t + 2)

@@ -21,16 +21,19 @@ __all__ = [
 
 
 def rot_x(a):
+    """Rotation matrix about the x axis by angle a (radians)."""
     c, s = jnp.cos(a), jnp.sin(a)
     return jnp.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
 
 
 def rot_y(a):
+    """Rotation matrix about the y axis by angle a (radians)."""
     c, s = jnp.cos(a), jnp.sin(a)
     return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
 
 
 def rot_z(a):
+    """Rotation matrix about the z axis by angle a (radians)."""
     c, s = jnp.cos(a), jnp.sin(a)
     return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 

@@ -47,6 +47,7 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def is_initialized() -> bool:
+    """True after init_distributed() has run in this process."""
     return _initialized
 
 

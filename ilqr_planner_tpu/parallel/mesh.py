@@ -38,10 +38,29 @@ def batch_specs(spec: Spec, overrides: Dict[str, jnp.ndarray]):
     overrides maps Spec field names (e.g. 'x0', 'q0', 'mu', 'prec') to arrays
     with a leading scenario axis. Returns (batched_spec, in_axes_spec) for
     vmap: overridden leaves map over axis 0, everything else broadcasts.
+
+    For sequential specs, keypoint-leaf overrides (mu/prec/...) are given as
+    per-sub lists (entries may be None); they land on the matching sub-spec.
     """
-    spec_b = spec.replace(**{k: jnp.asarray(v) for k, v in overrides.items()})
+    top = {k: v for k, v in overrides.items()
+           if not isinstance(v, (list, tuple))}
+    subl = {k: v for k, v in overrides.items()
+            if isinstance(v, (list, tuple))}
+    if subl and spec.kind != "sequential":
+        raise ValueError("list-valued overrides are only for sequential specs")
+    spec_b = spec.replace(**{k: jnp.asarray(v) for k, v in top.items()})
     axes = jax.tree_util.tree_map(lambda _: None, spec)
-    axes = axes.replace(**{k: 0 for k in overrides})
+    axes = axes.replace(**{k: 0 for k in top})
+    if subl:
+        new_subs, sub_axes = [], []
+        for i, sub in enumerate(spec.subs):
+            rep = {k: jnp.asarray(v[i]) for k, v in subl.items()
+                   if v[i] is not None}
+            new_subs.append(sub.replace(**rep))
+            ax = jax.tree_util.tree_map(lambda _: None, sub)
+            sub_axes.append(ax.replace(**{k: 0 for k in rep}))
+        spec_b = spec_b.replace(subs=tuple(new_subs))
+        axes = axes.replace(subs=tuple(sub_axes))
     return spec_b, axes
 
 
@@ -82,8 +101,6 @@ def _fleet_dispatch(spec: Spec, overrides) -> tuple:
     ov_names = tuple(sorted(set(overrides) - {"q0", "x0"}))
     if not set(ov_names) <= set(FLEET_OVERRIDES):
         return False, ()
-    if ov_names and spec.kind == "sequential":
-        return False, ()
     return fleet_supported(spec), ov_names
 
 
@@ -120,7 +137,9 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
                 _fleet_cache[key] = solver
             x0s = _fleet_x0s(spec, overrides, U0s)
             if ov_names:
-                ov = {k: jnp.asarray(overrides[k]) for k in ov_names}
+                # sequential specs pass per-sub LISTS; leave those intact
+                ov = {k: overrides[k] if isinstance(overrides[k], (list, tuple))
+                      else jnp.asarray(overrides[k]) for k in ov_names}
                 return solver(x0s, jnp.asarray(U0s), ov)
             return solver(x0s, jnp.asarray(U0s))
 
@@ -347,7 +366,8 @@ def solve_batch_sharded(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
                 _fleet_cache[key] = solver
             x0s = _fleet_x0s(spec, overrides, U0s)
             U0s = jnp.asarray(U0s)
-            ov = {k: jnp.asarray(overrides[k]) for k in ov_names}
+            ov = {k: overrides[k] if isinstance(overrides[k], (list, tuple))
+                  else jnp.asarray(overrides[k]) for k in ov_names}
             res_specs = jax.tree_util.tree_map(
                 lambda _: P(axis),
                 jax.eval_shape(solver.inner, x0s, U0s, ov or None))

@@ -60,11 +60,17 @@ FLEET_OVERRIDES = ("mu", "prec", "pos_radius", "orn_thresh")
 
 def _sub_ok(s: Spec) -> bool:
     if s.kind in ("joint", "joint_time"):
-        return s.nb_deriv == 1 if s.kind == "joint_time" else s.nb_deriv in (1, 2)
-    if s.kind in ("posorn", "point"):
+        return s.nb_deriv in (1, 2)
+    if s.kind == "point":
+        # chain robots, or planar robots without an object frame (the
+        # reference's Robot2D has no orientation to express in a frame)
+        return s.nb_deriv in (1, 2) and (
+            s.robot.kind == "chain"
+            or (s.robot.kind == "planar" and s.robot.frame is None))
+    if s.kind == "posorn":
         return s.nb_deriv in (1, 2) and s.robot.kind == "chain"
     if s.kind == "posorn_time":
-        return s.nb_deriv == 1 and s.robot.kind == "chain"
+        return s.nb_deriv in (1, 2) and s.robot.kind == "chain"
     return False
 
 
@@ -100,21 +106,29 @@ class _SubC:
             self.penalty = float(f(spec.penalty))
         self.chain_key = None
         self.frame = None
+        self.planar = False
         if spec.kind not in ("joint", "joint_time"):
-            ch = spec.robot.chain
-            self.origin_rot = f(ch.origin_rot)
-            self.origin_pos = f(ch.origin_pos)
-            self.axis = f(ch.axis)
-            self.prismatic = np.asarray(ch.prismatic) > 0
-            self.tip_rot = f(ch.tip_rot)
-            self.tip_pos = f(ch.tip_pos)
             self.car_dim = spec.robot.nb_car_dim
-            self.chain_key = (self.origin_rot.tobytes(), self.origin_pos.tobytes(),
-                              self.axis.tobytes(), self.prismatic.tobytes(),
-                              self.tip_rot.tobytes(), self.tip_pos.tobytes())
-            if spec.robot.frame is not None:
-                T = np.asarray(spec.robot.frame, np.float64)
-                self.frame = (T[:3, :3], T[:3, 3])
+            if spec.robot.kind == "planar":
+                self.planar = True
+                self.lengths = [float(v) for v in f(spec.robot.planar.lengths)]
+                self.chain_key = ("planar", tuple(self.lengths))
+            else:
+                ch = spec.robot.chain
+                self.origin_rot = f(ch.origin_rot)
+                self.origin_pos = f(ch.origin_pos)
+                self.axis = f(ch.axis)
+                self.prismatic = np.asarray(ch.prismatic) > 0
+                self.tip_rot = f(ch.tip_rot)
+                self.tip_pos = f(ch.tip_pos)
+                self.chain_key = (self.origin_rot.tobytes(),
+                                  self.origin_pos.tobytes(),
+                                  self.axis.tobytes(), self.prismatic.tobytes(),
+                                  self.tip_rot.tobytes(),
+                                  self.tip_pos.tobytes())
+                if spec.robot.frame is not None:
+                    T = np.asarray(spec.robot.frame, np.float64)
+                    self.frame = (T[:3, :3], T[:3, 3])
         # keypoints: static steps; targets/precisions/dead-zones either
         # concrete numpy constants or (when listed in ov_names) bound to
         # [B]-lane arrays at trace time by _bind_kp.
@@ -142,15 +156,14 @@ class _Consts:
     def __init__(self, spec: Spec, ov_names=()):
         if not fleet_supported(spec):
             raise ValueError(
-                f"fleet solver scope: posorn/joint/point nb_deriv 1-2, "
-                f"posorn_time/joint_time nb_deriv 1, sequential thereof; "
+                f"fleet solver scope: posorn/joint/point/posorn_time/"
+                f"joint_time nb_deriv 1-2 (point also on frameless planar "
+                f"robots), sequential thereof; "
                 f"got kind={spec.kind!r} nb_deriv={spec.nb_deriv}")
         ov_names = tuple(ov_names)
         bad = set(ov_names) - set(FLEET_OVERRIDES)
         if bad:
             raise ValueError(f"unsupported fleet overrides: {sorted(bad)}")
-        if ov_names and spec.kind == "sequential":
-            raise ValueError("fleet overrides not supported for sequential specs")
         self.kind = spec.kind
         self.n = spec.nx
         self.m = spec.nu
@@ -528,6 +541,31 @@ def _mat_to_quat_soa(R):
     return [v / nrm for v in q]
 
 
+def _planar_walk(ch: "_SubC", q, want_jac):
+    """Lane-major planar FK (models/planar.py twin): x = sum_i l_i
+    [cos q_i, sin q_i] (2DRobot.cpp:28-38) with the reference's forward-
+    difference Jacobian, step pi*1e-3 (2DRobot.cpp:49-61). Since joint i
+    only enters column i, the FD column is l_i*(cos(q_i+h)-cos(q_i))/h —
+    identical values to the full-FK difference at a fraction of the ops.
+    Rotational rows are exact zeros (2DRobot.cpp:63-67)."""
+    nj = len(ch.lengths)
+    cos_q = [jnp.cos(q[i]) for i in range(nj)]
+    sin_q = [jnp.sin(q[i]) for i in range(nj)]
+    x = sum(_mul(ch.lengths[i], cos_q[i]) for i in range(nj))
+    y = sum(_mul(ch.lengths[i], sin_q[i]) for i in range(nj))
+    p = [x, y, 0.0]
+    J6 = None
+    if want_jac:
+        h = float(np.pi) * 1e-3
+        row0 = [_mul(ch.lengths[i] / h, jnp.cos(q[i] + h) - cos_q[i])
+                for i in range(nj)]
+        row1 = [_mul(ch.lengths[i] / h, jnp.sin(q[i] + h) - sin_q[i])
+                for i in range(nj)]
+        zrow = [0.0] * nj
+        J6 = [row0, row1, zrow, zrow, zrow, zrow]
+    return p, None, J6
+
+
 def _fk_subs(cc: "_Consts", x, want_jac, want_vel):
     """Per-sub framed kinematics at state x (list of n [B] lanes).
 
@@ -546,10 +584,14 @@ def _fk_subs(cc: "_Consts", x, want_jac, want_vel):
             continue
         key = sc.chain_key
         if key not in walks:
-            p, R, zs, os_ = _fk_walk(rep, q)
-            p_ee, R_ee = _walk_tip(rep, p, R)
-            Jw = _walk_jac(rep, zs, os_, p_ee) if want_jac or want_vel else None
-            walks[key] = (p_ee, R_ee, Jw)
+            if rep.planar:
+                walks[key] = _planar_walk(rep, q, want_jac or want_vel)
+            else:
+                p, R, zs, os_ = _fk_walk(rep, q)
+                p_ee, R_ee = _walk_tip(rep, p, R)
+                Jw = (_walk_jac(rep, zs, os_, p_ee)
+                      if want_jac or want_vel else None)
+                walks[key] = (p_ee, R_ee, Jw)
         p_ee, R_ee, Jw = walks[key]
         if sc.frame is not None:
             p_s, R_s = _apply_frame(sc.frame, p_ee, R_ee)
@@ -707,7 +749,8 @@ def _kp_terms_at(cc: "_Consts", k: int, x, want_grads: bool, ov=None):
     Gxx = [[0.0] * cc.n for _ in range(cc.n)] if want_grads else None
     for i, kp in entries:
         sc = cc.subs[i]
-        kpb = _bind_kp(sc, kp, ov) if ov else kp
+        ov_i = ov[i] if ov else None
+        kpb = _bind_kp(sc, kp, ov_i) if ov_i else kp
         e, _ = _kp_residual(cc, sc, kpb, fkds[i], x)
         P = kpb["prec"]
         if isinstance(P, np.ndarray):
@@ -829,8 +872,18 @@ def _rollout(cc: "_Consts", alpha, Ks, ds, Xref, Uref, x0, ov=None):
             # 154-161); the time state integrates dt_k.
             s_ = u[m - 1]
             dtk = s_ * s_
-            x1 = jnp.concatenate(
-                [x[:dof] + dtk[None] * u[:dof], (x[n - 1] + dtk)[None]])
+            if cc.nb_deriv == 2:
+                # semi-implicit Euler with the per-step duration
+                # (PosOrnTimePlannerSys.cpp:165-171)
+                q_, dq_ = x[:dof], x[dof:2 * dof]
+                ddq = u[:dof]
+                x1 = jnp.concatenate(
+                    [q_ + dtk[None] * dq_ + (0.5 * dtk * dtk)[None] * ddq,
+                     dq_ + dtk[None] * ddq,
+                     (x[n - 1] + dtk)[None]])
+            else:
+                x1 = jnp.concatenate(
+                    [x[:dof] + dtk[None] * u[:dof], (x[n - 1] + dtk)[None]])
         elif cc.nb_deriv == 2:
             # semi-implicit Euler (SimulationInterface.cpp:19-26)
             x1 = jnp.concatenate(
@@ -871,7 +924,7 @@ def _neg(v):
     return -float(v) if _c(v) else -v
 
 
-def _q_terms(cc: "_Consts", P, p, lxx_diag, lx, u, gxx):
+def _q_terms(cc: "_Consts", P, p, lxx_diag, lx, u, gxx, dq=None):
     """Pre-gain Q quantities (Quu, Qux, Qu, Qxx, Qx) at one step, exploiting
     the integrator structure per dynamics kind:
       1st order: A = I, B = dt I (PosOrnPlannerSys.cpp:119-123);
@@ -879,7 +932,11 @@ def _q_terms(cc: "_Consts", P, p, lxx_diag, lx, u, gxx):
                  (PosOrnPlannerSys.cpp:125-130) — band algebra, no dense
                  matmuls;
       time-optimal 1st order: chain-rule B = [[s^2 I, 2 s dq], [0, 2 s]]
-                 (PosOrnTimePlannerSys.cpp:161-162) — one dense column.
+                 (PosOrnTimePlannerSys.cpp:161-162) — one dense column;
+      time-optimal 2nd order: A = I + s^2 E, B last column from the
+                 UPDATED velocity dq' = dq + s^2 ddq
+                 (PosOrnTimePlannerSys.cpp:165-176) — needs the state
+                 velocity lanes `dq` [dof].
     """
     n, m, dof = cc.n, cc.m, cc.dof
     dt = cc.dt
@@ -891,6 +948,61 @@ def _q_terms(cc: "_Consts", P, p, lxx_diag, lx, u, gxx):
         # A = I: Qxx = lxx + P
         Qxx = [[_add(P[i][j], stage[i][j]) for j in range(n)]
                for i in range(n)]
+
+    if cc.time and cc.nb_deriv == 2:
+        # n = 2*dof + 1 ([q, dq, t]), m = dof + 1 ([ddq, s]).
+        s_ = u[m - 1]
+        dtk = s_ * s_
+        b1, b2 = 0.5 * dtk * dtk, dtk
+        ddq = u[:dof]
+        dqn = [_add(dq[i], _mul(dtk, ddq[i])) for i in range(dof)]
+        # chain-rule last column wrt s (PosOrnTimePlannerSys.cpp:176,
+        # reading the post-step velocity):
+        g1 = [2.0 * s_ * dqn[i] + 2.0 * s_ ** 3 * ddq[i] for i in range(dof)]
+        g2 = [2.0 * s_ * ddq[i] for i in range(dof)]
+        h = 2.0 * s_
+
+        def bt(M, cols):
+            """B^T @ M for M [n][cols]."""
+            out = [[_add(_mul(b1, M[j][c]), _mul(b2, M[dof + j][c]))
+                    for c in range(cols)] for j in range(dof)]
+            out.append([
+                _add(_add(sum(_mul(g1[i], M[i][c]) for i in range(dof)),
+                          sum(_mul(g2[i], M[dof + i][c]) for i in range(dof))),
+                     _mul(h, M[n - 1][c])) for c in range(cols)])
+            return out
+
+        # PA = P (I + dtk E): add dtk * q-columns into the dq-columns
+        PA = [[P[r][c] if not (dof <= c < 2 * dof)
+               else _add(P[r][c], _mul(dtk, P[r][c - dof]))
+               for c in range(n)] for r in range(n)]
+        # PB [n][m]
+        PB = [[_add(_mul(b1, P[r][j]), _mul(b2, P[r][dof + j]))
+               for j in range(dof)]
+              + [_add(_add(sum(_mul(g1[i], P[r][i]) for i in range(dof)),
+                           sum(_mul(g2[i], P[r][dof + i])
+                               for i in range(dof))),
+                      _mul(h, P[r][n - 1]))]
+              for r in range(n)]
+        Qux = bt(PA, n)
+        Quu = bt(PB, m)
+        for i in range(m):
+            Quu[i][i] = _add(Quu[i][i], cc.Rt[i])
+        Btp = ([_add(_mul(b1, p[j]), _mul(b2, p[dof + j]))
+                for j in range(dof)]
+               + [_add(_add(sum(_mul(g1[i], p[i]) for i in range(dof)),
+                            sum(_mul(g2[i], p[dof + i]) for i in range(dof))),
+                       _mul(h, p[n - 1]))])
+        Qu = [_add(_mul(cc.Rt[i], u[i]), Btp[i]) for i in range(m)]
+        Qx = [_add(lx[c],
+                   p[c] if not (dof <= c < 2 * dof)
+                   else _add(p[c], _mul(dtk, p[c - dof]))) for c in range(n)]
+        # Qxx = A^T (PA) + stage: add dtk * q-rows of PA into the dq-rows
+        Qxx = [[_add(stage[r][c],
+                     PA[r][c] if not (dof <= r < 2 * dof)
+                     else _add(PA[r][c], _mul(dtk, PA[r - dof][c])))
+                for c in range(n)] for r in range(n)]
+        return Quu, Qux, Qu, Qxx, Qx
 
     if cc.time:
         s_ = u[m - 1]
@@ -977,6 +1089,63 @@ def _al_terms(Quu, Qux, Qu, Qxx, Qx, cx, cu, Ik, g, lam):
             Qxx[a][b] = _add(Qxx[a][b],
                              sum(_mul(cx[c][a], Icx[c][b]) for c in range(nc)))
     return Quu, Qux, Qu, Qxx, Qx
+
+
+def _gains_value_lti1(cc: "_Consts", P, p, lxx_diag, lx, u, gxx):
+    """Collapsed gain + value recursion for the first-order LTI case
+    (A = I, B = dt I, m = n), exact algebra of _q_terms + _gains_value.
+
+    With M = Quu + reg I = dt^2 P + diag(rr), rr = Rt + reg, and K/d from
+    the regularized solve (ILQRRecursive.cpp:89-91), substituting
+    M K = -Qux and M d = -Qu into the UNregularized value recursion
+    (cpp:93-94) cancels every P-dependent product:
+
+        K  = (M^-1 diag(rr) - I) / dt
+        d  = -M^-1 Qu,        Qu = Rt u + dt p
+        P1 = stage + (diag(rr) - diag(rr) M^-1 diag(rr)) / dt^2 - reg K^T K
+        p1 = lx - (Rt u + diag(rr) d) / dt - reg K^T d
+
+    ~2x fewer vector ops per step than the generic path and numerically
+    MORE stable (the large mutually-cancelling terms are never formed).
+    The Pallas whole-sweep kernel runs the same reduction.
+    """
+    n = cc.n
+    dt = cc.dt
+    reg = 1e-6
+    inv_dt = 1.0 / dt
+    inv_dt2 = inv_dt * inv_dt
+    rr = [cc.Rt[i] + reg for i in range(n)]
+    M = [[_add(_mul(dt * dt, P[i][j]), rr[i] if i == j else 0.0)
+          for j in range(n)] for i in range(n)]
+    Qu = [_add(_mul(cc.Rt[i], u[i]), _mul(dt, p[i])) for i in range(n)]
+    # One stacked solve: M [S | y] = [diag(rr) | Qu]  ->  S = M^-1 diag(rr)
+    rhs = [[rr[i] if i == j else 0.0 for j in range(n)] + [Qu[i]]
+           for i in range(n)]
+    sol = _solve_aug(M, rhs)
+    K = [[_mul(inv_dt, _sub_(sol[i][j], 1.0 if i == j else 0.0))
+          for j in range(n)] for i in range(n)]
+    d = [_neg(sol[i][n]) for i in range(n)]
+
+    P1 = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i, n):
+            acc = _mul(inv_dt2, _sub_(rr[i] if i == j else 0.0,
+                                      _mul(rr[i], sol[i][j])))
+            acc = _sub_(acc, _mul(reg, sum(_mul(K[k][i], K[k][j])
+                                           for k in range(n))))
+            if i == j:
+                acc = _add(acc, lxx_diag[i])
+            if gxx is not None:
+                acc = _add(acc, gxx[i][j])
+            P1[i][j] = acc
+            if j != i:
+                P1[j][i] = acc
+    p1 = [_sub_(_sub_(lx[i],
+                      _mul(inv_dt, _add(_mul(cc.Rt[i], u[i]),
+                                        _mul(rr[i], d[i])))),
+                _mul(reg, sum(_mul(K[k][i], d[k]) for k in range(n))))
+          for i in range(n)]
+    return P1, p1, K, d
 
 
 def _gains_value(Quu, Qux, Qu, Qxx, Qx):
@@ -1084,14 +1253,28 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
         return (cx, cu, _rows(al["Is"][k]), _rows(al["g"][k]),
                 _rows(al["lam"][k]))
 
-    def full_step(P, p, l2_t, lx_t, u_t, gxx=None, al_t=None):
-        Quu, Qux, Qu, Qxx, Qx = _q_terms(cc, P, p, l2_t, lx_t, u_t, gxx)
+    # the time-optimal 2nd-order B needs the state velocity lanes at each
+    # step (PosOrnTimePlannerSys.cpp:165-176)
+    need_dq = cc.time and cc.nb_deriv == 2
+
+    lti1 = al is None and cc.nb_deriv == 1 and not cc.time and cc.m == cc.n
+
+    def full_step(P, p, l2_t, lx_t, u_t, gxx=None, al_t=None, dq_t=None):
+        if lti1:
+            # collapsed recursion: exact algebra, ~2x fewer ops
+            return _gains_value_lti1(cc, P, p, l2_t, lx_t, u_t, gxx)
+        Quu, Qux, Qu, Qxx, Qx = _q_terms(cc, P, p, l2_t, lx_t, u_t, gxx,
+                                         dq=dq_t)
         if al_t is not None:
             Quu, Qux, Qu, Qxx, Qx = _al_terms(Quu, Qux, Qu, Qxx, Qx, *al_t)
         return _gains_value(Quu, Qux, Qu, Qxx, Qx)
 
     def seg_step(carry, inp):
         P_c, p_c = carry
+        dq_t = None
+        if need_dq:
+            inp, dqa = inp[:-1], inp[-1]
+            dq_t = _rows(dqa)
         if al is None:
             l2_t, lx_t, u_t = inp
             al_t = None
@@ -1106,7 +1289,8 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
                 cu_t = [[cua[c, j] for j in range(m)] for c in range(al["nc"])]
             al_t = (cx_t, cu_t, _rows(Is_t), _rows(g_t), _rows(lam_t))
         P1, p1, K, d = full_step(_mat(P_c), _rows(p_c), _rows(l2_t),
-                                 _rows(lx_t), _rows(u_t), al_t=al_t)
+                                 _rows(lx_t), _rows(u_t), al_t=al_t,
+                                 dq_t=dq_t)
         return (_to_arr(P1), jnp.stack(p1)), (_to_arr(K), jnp.stack(d))
 
     def run_segment(P, p, hi, lo):
@@ -1121,6 +1305,8 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
             if not al["uniform"]:
                 extra = (al["cx"][lo:hi], al["cu"][lo:hi]) + extra
             inputs = inputs + (extra,)
+        if need_dq:
+            inputs = inputs + (X[lo:hi, cc.dof:2 * cc.dof],)
         (P_a, p_a), (Ks_seg, ds_seg) = jax.lax.scan(
             seg_step, carry, inputs, reverse=True, unroll=cc.unroll)
         return _mat(P_a), _rows(p_a), Ks_seg, ds_seg
@@ -1137,8 +1323,9 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
         # unrolled keypoint step at t = k with the dense Hessian term
         _, gx, gxx = _kp_terms_at(cc, k, _rows(X[k]), True, ov)
         lx_k = [lx_all[k, i] - _full(gx[i], lx_all[k, i]) for i in range(n)]
+        dq_k = _rows(X[k, cc.dof:2 * cc.dof]) if need_dq else None
         P, p, K, d = full_step(P, p, _rows(L2[k]), lx_k, _rows(U[k]),
-                               gxx=gxx, al_t=al_slice(k))
+                               gxx=gxx, al_t=al_slice(k), dq_t=dq_k)
         Ks_parts.append(_to_arr([[_full(v, X[0, 0]) for v in row]
                                  for row in K])[None])
         ds_parts.append(jnp.stack([_full(v, X[0, 0]) for v in d])[None])
@@ -1177,13 +1364,33 @@ def _alpha_schedule(cc, line_search):
 
 
 def _bind_ov(cc: "_Consts", ov_names, ov):
-    """Move the scenario axis of override arrays to the lane (minor) axis."""
+    """Move the scenario axis of override arrays to the lane (minor) axis.
+
+    Returns one dict per subsystem. For sequential specs each override value
+    must be a per-sub list (entries may be None to keep that sub's
+    constants); for plain specs the single array applies to the one sub.
+    """
     if not ov_names:
         return None
     missing = [k for k in ov_names if k not in (ov or {})]
     if missing:
         raise ValueError(f"missing override arrays: {missing}")
-    return {k: jnp.moveaxis(jnp.asarray(ov[k]), 0, -1) for k in ov_names}
+    out = []
+    for i in range(len(cc.subs)):
+        d = {}
+        for k in ov_names:
+            v = ov[k]
+            if cc.kind == "sequential":
+                if not isinstance(v, (list, tuple)) or len(v) != len(cc.subs):
+                    raise ValueError(
+                        f"sequential override {k!r} must be a list with one "
+                        f"entry per subsystem ({len(cc.subs)}), None to skip")
+                v = v[i]
+                if v is None:
+                    continue
+            d[k] = jnp.moveaxis(jnp.asarray(v), 0, -1)
+        out.append(d)
+    return tuple(out)
 
 
 def _run_trials(cc: "_Consts", a_sched, X, U, cost0, Ks, ds, x0, ovb,

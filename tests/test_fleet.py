@@ -152,17 +152,51 @@ def test_fleet_matches_vmapped_joint(panda_robot):
 
 
 def test_fleet_rejects_unsupported(panda_robot):
-    # 2nd-order time-optimal stays out of fleet scope (vmap fallback);
-    # planar (finite-difference Jacobian) robots likewise.
+    # posorn on a planar robot is out of fleet scope (no orientation), as
+    # is point on a planar robot carrying an object frame.
     spec = _posorn_spec(panda_robot)
-    spec2 = spec.replace(kind="posorn_time", nb_deriv=2)
-    assert not fleet_supported(spec2)
-    with pytest.raises(ValueError):
-        make_fleet_solver(spec2, 5)
     from ilqr_planner_tpu.models.planar import PlanarRobot
     planar = Robot.from_planar(PlanarRobot(lengths=np.ones(3)))
-    spec3 = spec.replace(kind="point", robot=planar)
+    spec3 = spec.replace(robot=planar)
     assert not fleet_supported(spec3)
+    framed = planar.replace(frame=np.eye(4))
+    spec4 = spec.replace(kind="point", robot=framed)
+    assert not fleet_supported(spec4)
+    with pytest.raises(ValueError):
+        make_fleet_solver(spec4, 5)
+
+
+def test_fleet_matches_vmapped_planar_point():
+    """Planar (Robot2D) point tracking is fleet-scope since round 4; the
+    lane-major FD-Jacobian planar walk must match the vmap path."""
+    from ilqr_planner_tpu.models.planar import PlanarRobot
+    from ilqr_planner_tpu.systems.keypoints import PointKeypoint
+
+    # f64: the FD Jacobian's mid-descent rounding flips line-search
+    # accepts in f32 (the FK itself matches to 3e-14, verified separately)
+    planar = Robot.from_planar(
+        PlanarRobot(lengths=np.asarray([0.5, 0.4, 0.3])))
+    Hp = 50
+    kps = [PointKeypoint([0.6, 0.5], np.eye(2), Hp // 2 - 1),
+           PointKeypoint([0.2, 0.9], np.eye(2), Hp - 1)]
+    qmax = np.ones(3) * np.pi * 10
+    spec = make_spec("point", planar, kps, np.ones(3) * 1e-5, Hp, 1, dt=0.1,
+                     q0=np.array([0.3, 0.2, 0.1]), q_max=qmax, q_min=-qmax,
+                     dtype=np.float64)
+    assert fleet_supported(spec)
+    B = 4
+    rng = np.random.default_rng(7)
+    q0s = spec.q0[None] + 0.1 * rng.normal(size=(B, 3))
+    U0s = np.zeros((B, Hp - 1, 3))
+    ref = solve_batch(spec, {"q0": q0s, "x0": q0s}, U0s, 10,
+                      prefer_fleet=False)
+    fleet = make_fleet_solver(spec, 10)(q0s, U0s)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(fleet.iterations),
+                                  np.asarray(ref.iterations))
 
 
 def _timeopt_spec(robot, dtype=np.float64, H=30):
@@ -459,3 +493,134 @@ def test_fleet_hybrid_joint_plus_task_exact_in_f64(panda_robot_f64):
                                atol=1e-11)
     np.testing.assert_allclose(np.asarray(fleet.fX), np.asarray(ref.fX),
                                atol=1e-11)
+
+
+def test_fleet_time_optimal_2nd_order_exact_in_f64(panda_robot_f64):
+    """posorn_time with acceleration control (nb_deriv=2): new fleet scope
+    in round 4. A = I + s^2 E and the chain-rule B column reads the UPDATED
+    velocity (PosOrnTimePlannerSys.cpp:165-176); both layouts must agree to
+    f64 rounding."""
+    from ilqr_planner_tpu.systems.keypoints import SpacetimeKeypoint
+
+    Ht = 20
+    Qt = np.diag([1, 1, 1, .1, .1, .1, 1, 1, 1, 0, 0, 0, .1])
+    kps = [SpacetimeKeypoint(T1_POS, T1_ORN, Qt, Ht - 1, 2.0,
+                             dposition=[0, 0, 0],
+                             dorientation=[0, 0, 0, 0])]
+    qmax = np.ones(7) * np.pi * 10
+    dqmax = np.ones(7) * 10.0
+    spec = make_spec("posorn_time", panda_robot_f64, kps, np.ones(8) * 1e-5,
+                     Ht, 2, dt=None, q0=Q0, q_max=qmax, q_min=-qmax,
+                     dq_max=dqmax, dq_min=-dqmax, dtype=np.float64)
+    assert fleet_supported(spec)
+    B = 2
+    rng = np.random.default_rng(3)
+    q0s = Q0[None] + 0.02 * rng.normal(size=(B, 7))
+    x0s = np.concatenate([q0s, np.zeros((B, 7)), np.zeros((B, 1))], axis=-1)
+    U0 = np.tile(np.array([0.0] * 7 + [0.1]), (Ht - 1, 1))
+    U0s = np.tile(U0[None], (B, 1, 1))
+    # one iteration, no line search: exact-math parity (the sqrt(dt)
+    # acceleration-control dynamics are the reference's known-fragile
+    # parameterization — POS_ORN_TIME_SYS_2ND.ipynb diverges — so longer
+    # runs amplify f64 rounding chaotically and only behavioral agreement
+    # is meaningful there)
+    ref1 = solve_batch(spec, {"q0": q0s, "x0": x0s}, U0s, 1,
+                       line_search=False, early_stop=False,
+                       prefer_fleet=False)
+    fl1 = make_fleet_solver(spec, 1, line_search=False,
+                            early_stop=False)(x0s, U0s)
+    np.testing.assert_allclose(np.asarray(fl1.cost), np.asarray(ref1.cost),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(fl1.U), np.asarray(ref1.U),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fl1.Ks), np.asarray(ref1.Ks),
+                               atol=1e-10)
+    # four line-searched iterations: behavioral agreement
+    ref = solve_batch(spec, {"q0": q0s, "x0": x0s}, U0s, 4,
+                      early_stop=False, prefer_fleet=False)
+    fleet = make_fleet_solver(spec, 4, early_stop=False)(x0s, U0s)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               rtol=0.05, atol=1e-3)
+
+
+def test_fleet_joint_time_2nd_order_exact_in_f64(panda_robot_f64):
+    from ilqr_planner_tpu.systems.keypoints import AngularTimeKeypoint
+
+    Ht = 20
+    kps = [AngularTimeKeypoint(
+        Q0 + 0.2, np.diag([1.0] * 7 + [0.01] * 7 + [0.1]), Ht - 1, 1.5,
+        dposition=np.zeros(7))]
+    qmax = np.ones(7) * np.pi * 10
+    dqmax = np.ones(7) * 10.0
+    spec = make_spec("joint_time", panda_robot_f64, kps, np.ones(8) * 1e-5,
+                     Ht, 2, dt=None, q0=Q0, q_max=qmax, q_min=-qmax,
+                     dq_max=dqmax, dq_min=-dqmax, dtype=np.float64)
+    assert fleet_supported(spec)
+    B = 2
+    rng = np.random.default_rng(5)
+    q0s = Q0[None] + 0.02 * rng.normal(size=(B, 7))
+    x0s = np.concatenate([q0s, np.zeros((B, 7)), np.zeros((B, 1))], axis=-1)
+    U0 = np.tile(np.array([0.0] * 7 + [0.1]), (Ht - 1, 1))
+    U0s = np.tile(U0[None], (B, 1, 1))
+    ref1 = solve_batch(spec, {"q0": q0s, "x0": x0s}, U0s, 1,
+                       line_search=False, early_stop=False,
+                       prefer_fleet=False)
+    fl1 = make_fleet_solver(spec, 1, line_search=False,
+                            early_stop=False)(x0s, U0s)
+    np.testing.assert_allclose(np.asarray(fl1.cost), np.asarray(ref1.cost),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(fl1.U), np.asarray(ref1.U),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fl1.Ks), np.asarray(ref1.Ks),
+                               atol=1e-10)
+    ref = solve_batch(spec, {"q0": q0s, "x0": x0s}, U0s, 4,
+                      early_stop=False, prefer_fleet=False)
+    fleet = make_fleet_solver(spec, 4, early_stop=False)(x0s, U0s)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-4)
+
+
+def test_fleet_sequential_overrides_exact_in_f64(panda_robot_f64):
+    """Per-scenario keypoint targets on a SEQUENTIAL spec (round-4 scope):
+    overrides are per-sub lists (None keeps that sub's constants); the
+    fleet must match the vmap path with the same per-sub batched leaves."""
+    from ilqr_planner_tpu.ops import so3
+    from ilqr_planner_tpu.systems.spec import sequential_spec
+
+    H, dt = 40, 0.01
+    obj1 = np.eye(4)
+    obj1[:3, :3] = np.asarray(so3.quat_to_mat(np.array(
+        [0.63758403393523, 0.2994657314658187, 0.6042309402208079,
+         -0.37244039285286973])))
+    obj1[:3, 3] = [0.62, 0.05, 0.34]
+    qd = np.diag([1, 1, 1, 0, 0, 0])
+    cmd = np.ones(7) * 1e-5
+    qmax = np.ones(7) * np.pi * 10
+    sub1 = make_spec("posorn", panda_robot_f64.with_frame(obj1),
+                     [PosOrnKeypoint([0, 0, -0.15], [1, 0, 0, 0], qd, H // 2)],
+                     cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax,
+                     dtype=np.float64)
+    sub2 = make_spec("posorn", panda_robot_f64,
+                     [PosOrnKeypoint(T1_POS, T1_ORN, qd, H - 1)],
+                     cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax,
+                     dtype=np.float64)
+    spec = sequential_spec((sub1, sub2), cmd)
+    assert fleet_supported(spec)
+    B = 3
+    rng = np.random.default_rng(11)
+    q0s = Q0[None] + 0.03 * rng.normal(size=(B, 7))
+    U0s = np.zeros((B, H - 1, 7))
+    # batch sub2's targets only; sub1 keeps its constants (None entry)
+    mu2 = np.tile(np.asarray(sub2.mu)[None], (B, 1, 1))
+    mu2[:, H - 1, :3] += 0.04 * rng.normal(size=(B, 3))
+    ov = {"q0": q0s, "x0": q0s, "mu": [None, mu2]}
+    ref = solve_batch(spec, ov, U0s, 4, early_stop=False, prefer_fleet=False)
+    fleet = solve_batch(spec, ov, U0s, 4, early_stop=False)
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-9)
