@@ -257,55 +257,19 @@ def _kernel(params_ref, P0_ref, p0_ref, steps_ref, gxx_ref, kd_ref,
 # wrapper: lane-minor [.., B] arrays <-> (G, .., LS, 128) tiles
 # ---------------------------------------------------------------------------
 
-def segment_backward_pallas(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
-                            reg=1e-6, interpret=False):
-    """Full backward sweep -> (Ks [H-1, n, n, B], ds [H-1, n, B]).
-
-    P0 [n, n, B], p0 [n, B]: terminal cost-to-go (keypoint term at H-1
-    already folded). L2/lx [H-1, n, B]: per-step limit diagonal and stage
-    gradient (keypoint -J^T P e folded at keypoint steps). U [H-1, n, B].
-    gxx [n_kp, n, n, B] + static kp_steps tuple: dense keypoint Hessians at
-    the inner keypoint steps (may be empty).
-    """
+def _run_tile(steps, P0, p0, gxx, params, kp_slots, H, n, LS, interpret):
+    """One lane tile ([.., LB] minor axis): reshape to (LS, 128) tiles
+    (contiguous — FREE, no transpose) and run the whole-sweep kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, _, B = P0.shape
-    Hm1 = U.shape[0]
-    H = Hm1 + 1
+    Hm1 = H - 1
     dtype = P0.dtype
-    LS = _pick_ls(B)
-    if LS is None:
-        raise ValueError(f"B={B} must be a multiple of 128")
-    LB = LS * 128
-    G = B // LB
-    kp_steps = tuple(int(k) for k in kp_steps)
-    kp_slots = {k: i for i, k in enumerate(kp_steps)}
-    n_kp = max(1, len(kp_steps))  # >=1 so the ref exists even when unused
-
-    def soa(x, lead, inner):
-        # [*lead, *inner, B] -> [G, *lead, *inner, LS, 128]
-        x = x.reshape(*lead, *inner, G, LB)
-        x = jnp.moveaxis(x, -2, 0)
-        return x.reshape(G, *lead, *inner, LS, 128)
-
-    steps = jnp.concatenate([L2, lx, U], axis=1)       # [H-1, 3n, B]
-    steps_s = soa(steps, (Hm1,), (3 * n,))
-    P0_s = soa(P0, (), (n, n))
-    p0_s = soa(p0, (), (n,))
-    if len(kp_steps):
-        gxx_s = soa(gxx, (len(kp_steps),), (n, n))
-    else:
-        gxx_s = jnp.zeros((G, 1, n, n, LS, 128), dtype)
-
-    params = jnp.concatenate([
-        jnp.asarray([dt, reg], dtype), jnp.asarray(Rt, dtype).reshape(n)])
-
+    tile = lambda x: x.reshape(1, *x.shape[:-1], LS, 128)  # noqa: E731
     kern = functools.partial(_kernel, H=H, n=n, kp_slots=kp_slots)
-
     kd = pl.pallas_call(
         kern,
-        grid=(G,),
+        grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # params
             pl.BlockSpec((1, n, n, LS, 128),
@@ -318,7 +282,7 @@ def segment_backward_pallas(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
             pl.BlockSpec(memory_space=pl.ANY),                     # gxx
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((G, Hm1, n, n + 1, LS, 128), dtype),
+        out_shape=jax.ShapeDtypeStruct((1, Hm1, n, n + 1, LS, 128), dtype),
         scratch_shapes=[
             pltpu.VMEM((n, n, LS, 128), dtype),       # P carry
             pltpu.VMEM((n, LS, 128), dtype),          # p carry
@@ -330,13 +294,62 @@ def segment_backward_pallas(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(params, P0_s, p0_s, steps_s, gxx_s)
-
-    def unsoa(x, lead, inner):
-        x = x.reshape(G, *lead, *inner, LB)
-        x = jnp.moveaxis(x, 0, -2)
-        return x.reshape(*lead, *inner, B)
-
-    Ks = unsoa(kd[:, :, :, :n], (Hm1,), (n, n))
-    ds = unsoa(kd[:, :, :, n], (Hm1,), (n,))
+    )(params, tile(P0), tile(p0), tile(steps), tile(gxx))
+    LB = LS * 128
+    Ks = kd[0, :, :, :n].reshape(Hm1, n, n, LB)
+    ds = kd[0, :, :, n].reshape(Hm1, n, LB)
     return Ks, ds
+
+
+def segment_backward_pallas(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
+                            reg=1e-6, interpret=False):
+    """Full backward sweep -> (Ks [H-1, n, n, B], ds [H-1, n, B]).
+
+    P0 [n, n, B], p0 [n, B]: terminal cost-to-go (keypoint term at H-1
+    already folded). L2/lx [H-1, n, B]: per-step limit diagonal and stage
+    gradient (keypoint -J^T P e folded at keypoint steps). U [H-1, n, B].
+    gxx [n_kp, n, n, B] + static kp_steps tuple: dense keypoint Hessians at
+    the inner keypoint steps (may be empty).
+
+    Lane tiles are processed as a fori_loop over MINOR-axis slices of the
+    lane axis (dynamic_slice / dynamic_update_slice), so the wrapper never
+    transposes the 200MB gains array — the earlier grid-over-tiles design
+    paid two such transposes per backward call, ~35% of the whole solve.
+    """
+    n, _, B = P0.shape
+    Hm1 = U.shape[0]
+    H = Hm1 + 1
+    dtype = P0.dtype
+    LS = _pick_ls(B)
+    if LS is None:
+        raise ValueError(f"B={B} must be a multiple of 128")
+    LB = LS * 128
+    G = B // LB
+    kp_steps = tuple(int(k) for k in kp_steps)
+    kp_slots = {k: i for i, k in enumerate(kp_steps)}
+
+    steps = jnp.concatenate([L2, lx, U], axis=1)       # [H-1, 3n, B]
+    if not len(kp_steps):
+        gxx = jnp.zeros((1, n, n, B), dtype)
+    params = jnp.concatenate([
+        jnp.asarray([dt, reg], dtype), jnp.asarray(Rt, dtype).reshape(n)])
+
+    if G == 1:
+        return _run_tile(steps, P0, p0, gxx, params, kp_slots, H, n, LS,
+                         interpret)
+
+    def body(g, acc):
+        Ks_acc, ds_acc = acc
+        start = g * LB
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, LB,  # noqa: E731
+                                                    axis=a.ndim - 1)
+        Ks_t, ds_t = _run_tile(sl(steps), sl(P0), sl(p0), sl(gxx), params,
+                               kp_slots, H, n, LS, interpret)
+        Ks_acc = jax.lax.dynamic_update_slice_in_dim(Ks_acc, Ks_t, start,
+                                                     axis=3)
+        ds_acc = jax.lax.dynamic_update_slice_in_dim(ds_acc, ds_t, start,
+                                                     axis=2)
+        return Ks_acc, ds_acc
+
+    init = (jnp.zeros((Hm1, n, n, B), dtype), jnp.zeros((Hm1, n, B), dtype))
+    return jax.lax.fori_loop(0, G, body, init)

@@ -119,3 +119,28 @@ def test_pallas_backward_multi_inner_keypoints(panda64):
                                rtol=1e-10, atol=1e-14)
     np.testing.assert_allclose(np.asarray(pal.U), np.asarray(ref.U),
                                atol=1e-10)
+
+
+def test_pallas_backward_multi_tile_fori_path(panda64, monkeypatch):
+    """The G>1 lane-tile fori_loop path (minor-axis dynamic slices) must
+    match the single-tile path exactly. B=256 with _pick_ls forced to 1
+    gives two 128-lane tiles without interpret-mode cost."""
+    import jax.numpy as jnp
+
+    from ilqr_planner_tpu.ops.pallas_kernels import segment_backward as sb
+    from ilqr_planner_tpu.solvers import fleet
+
+    spec = _spec_posorn(panda64)
+    cc = fleet._Consts(spec)
+    B2 = 256
+    rng = np.random.default_rng(1)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(B2, 7))
+    steps = np.concatenate([q0s[None], 0.01 * rng.normal(size=(H - 1, B2, 7))])
+    X = jnp.asarray(np.cumsum(steps, axis=0).transpose(0, 2, 1))
+    U = jnp.asarray(0.05 * rng.normal(size=(H - 1, 7, B2)))
+    cc.backward_impl = "pallas_interpret"
+    K1, d1 = fleet._backward(cc, X, U)          # G=1 (LS=2)
+    monkeypatch.setattr(sb, "_pick_ls", lambda B: 1)
+    K2, d2 = fleet._backward(cc, X, U)          # G=2 fori path
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-12)
