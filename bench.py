@@ -111,15 +111,24 @@ def _roofline(spec, batch, best_time_s, median_iters, jnp):
         print(f"roofline: cost_analysis unavailable ({e})", file=sys.stderr)
 
     # Analytic per-lane op model (flagship: n = m = 7, H = 100, 2 keypoints).
-    # Backward step: Quu/Qux/Qxx ~3x49 FMA, Qu/Qx 21, stacked Gauss-Jordan
-    # elimination ~7*(8 + 7*8) ~ 450, value recursion ~1500 -> ~2.5k FMA =
-    # ~5 kFLOP. Rollout step: du 49 FMA + integrate/limits/norm ~70 -> ~240
-    # FLOP. Keypoint FK + Gauss-Newton terms ~4 kFLOP per evaluated step.
+    # REFERENCE-ALGORITHM work (the long-form recursion's count, kept as the
+    # round-over-round comparable "useful work" metric): backward step
+    # Quu/Qux/Qxx ~3x49 FMA, Qu/Qx 21, stacked Gauss-Jordan ~450, value
+    # recursion ~1500 -> ~5 kFLOP/step. Since round 4 the EXECUTED backward
+    # uses the collapsed LTI recursion (fleet._gains_value_lti1 / the Pallas
+    # kernel): Cholesky+Minv ~800 MAC -> ~1.7 kFLOP/step — reported
+    # separately below; the sustained/peak fractions use the reference-work
+    # count so they measure speedup-normalized utilization, not reward
+    # algorithmic shrinkage. Rollout step: du 49 FMA + integrate/limits/
+    # norm ~70 -> ~240 FLOP. Keypoint FK + GN terms ~4 kFLOP per evaluation.
     H = spec.horizon
     trials_avg = 2.5  # measured early-exit average across iterations
     flops_model = median_iters * ((H - 1) * 5000.0
                                   + trials_avg * (H - 1) * 240.0
                                   + 4 * 4000.0)
+    flops_executed = median_iters * ((H - 1) * 1700.0
+                                     + trials_avg * (H - 1) * 240.0
+                                     + 4 * 4000.0)
     # HBM model: per iteration the backward writes K,d ([H-1, 56] f32) and
     # each trial pass re-reads them plus X/U reference trajectories.
     bytes_model = median_iters * (H - 1) * 56 * 4 * (1 + trials_avg + 1.5)
@@ -127,6 +136,7 @@ def _roofline(spec, batch, best_time_s, median_iters, jnp):
     gbps = bytes_model * batch / best_time_s / 1e9
     out.update({
         "model_flops_per_solve": round(flops_model),
+        "model_executed_flops_per_solve": round(flops_executed),
         "model_hbm_bytes_per_solve": round(bytes_model),
         "model_sustained_tflops": round(tflops, 4),
         "model_sustained_hbm_gbps": round(gbps, 1),
