@@ -7,6 +7,7 @@ from ilqr_planner_tpu.parallel.mesh import (
     solve_batch,
     solve_batch_al,
     solve_batch_al_staged,
+    solve_batch_staged,
     solve_batch_chunked,
     solve_batch_gn,
     solve_batch_sharded,
@@ -19,6 +20,7 @@ __all__ = [
     "solve_batch",
     "solve_batch_al",
     "solve_batch_al_staged",
+    "solve_batch_staged",
     "solve_batch_chunked",
     "solve_batch_gn",
     "solve_batch_sharded",

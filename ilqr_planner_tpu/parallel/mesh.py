@@ -20,8 +20,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ilqr_planner_tpu.solvers import al_ilqr, batch as batch_solver, ilqr
 from ilqr_planner_tpu.systems.spec import Spec
 
-__all__ = ["make_mesh", "solve_batch", "solve_batch_al", "solve_batch_gn",
-           "solve_batch_sharded", "batch_specs"]
+__all__ = ["make_mesh", "solve_batch", "solve_batch_staged",
+           "solve_batch_al", "solve_batch_gn", "solve_batch_sharded",
+           "batch_specs"]
 
 
 def make_mesh(shape=None, axis_names=("dp",), devices=None) -> Mesh:
@@ -211,6 +212,43 @@ def solve_batch_al(spec: Spec, constraints, lam0, overrides,
         in_axes=(spec_axes, cons_axes, 0, 0),
     )
     return f(spec_b, constraints, lam0, jnp.asarray(U0s))
+
+
+def solve_batch_staged(spec: Spec, overrides, U0s, nb_iter: int,
+                       first_stage: int = 6, bucket: int = 512, **kw):
+    """Straggler-aware recursive-iLQR batch solve: identical results to
+    solve_batch(..., nb_iter) (same two-stage schedule as
+    solve_batch_al_staged — see its docstring for why this is exact).
+
+    The fleet's iteration while_loop exits only when EVERY lane is frozen,
+    so one slow scenario makes the whole batch pay its iteration count.
+    Stage 1 runs everyone at `first_stage` iterations; lanes that hit that
+    budget are regathered (device-resident, padded to a `bucket` multiple)
+    and re-solved at the full budget from their original initial state.
+    Worth it when the per-lane iteration distribution has a heavy tail;
+    for tight distributions (e.g. the flagship's median 8 / max ~10)
+    plain solve_batch is equally good.
+    """
+    first_stage = min(int(first_stage), int(nb_iter))
+    res1 = solve_batch(spec, overrides, U0s, first_stage, **kw)
+    it = np.asarray(res1.iterations)
+    idx = np.nonzero(it >= first_stage)[0]
+    if idx.size == 0 or first_stage >= nb_iter:
+        return res1
+    pad = (-idx.size) % bucket
+    idx_p = jnp.asarray(np.concatenate([idx, np.full(pad, idx[0],
+                                                     idx.dtype)]))
+
+    def gather(v):
+        if isinstance(v, (list, tuple)):  # sequential per-sub override lists
+            return [None if e is None else jnp.asarray(e)[idx_p] for e in v]
+        return jnp.asarray(v)[idx_p]
+
+    ov2 = {k: gather(v) for k, v in overrides.items()}
+    res2 = solve_batch(spec, ov2, jnp.asarray(U0s)[idx_p], nb_iter, **kw)
+    idx_j = jnp.asarray(idx)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.asarray(a).at[idx_j].set(b[:idx.size]), res1, res2)
 
 
 def solve_batch_al_staged(spec: Spec, constraints, lam0, overrides, U0s,

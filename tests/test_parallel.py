@@ -277,3 +277,22 @@ def test_fleet_dispatch_keypoint_only_overrides(spec):
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
                                atol=1e-6)
+
+
+def test_staged_equals_direct_plain_ilqr(spec):
+    """solve_batch_staged returns exactly the direct nb_iter solve (same
+    straggler schedule as the AL variant, applied to plain recursive iLQR)."""
+    from ilqr_planner_tpu.parallel import solve_batch_staged
+
+    B = 6
+    ov = _scenarios(spec, B, seed=21)
+    U0s = np.zeros((B, 99, 7))
+    direct = solve_batch(spec, ov, U0s, 10)
+    staged = solve_batch_staged(spec, ov, U0s, 10, first_stage=4, bucket=2)
+    assert np.any(np.asarray(direct.iterations) > 4)  # stage 2 actually ran
+    np.testing.assert_allclose(np.asarray(staged.cost),
+                               np.asarray(direct.cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(staged.U), np.asarray(direct.U),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(staged.iterations),
+                                  np.asarray(direct.iterations))
