@@ -162,6 +162,16 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    # Fixed calibration probe (utils/calibprobe.py): records this run's
+    # chip/tunnel speed so cross-round solves/s are normalizable
+    # (environment speed swings ~2x by hour; see docs/roofline.md).
+    from ilqr_planner_tpu.utils.calibprobe import (CALIB_NOMINAL_S,
+                                                   calibration_probe)
+    calib_s = calibration_probe()
+    print(f"calibration probe: {calib_s*1e3:.1f} ms "
+          f"(nominal {CALIB_NOMINAL_S*1e3:.1f} ms, speed factor "
+          f"{CALIB_NOMINAL_S/calib_s:.2f}x)", file=sys.stderr)
+
     spec = _panda_spec(100, 49, 99, jnp.float32)
     results = []
     for batch in BATCH_CANDIDATES:
@@ -197,6 +207,8 @@ def main():
         "compile_split": csplit,
         "median_cost": median_cost,
         "converged_frac": converged,
+        "calib_s": round(calib_s, 4),
+        "calib_nominal_s": CALIB_NOMINAL_S,
         **roofline,
     }))
 

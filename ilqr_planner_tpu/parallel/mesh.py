@@ -9,6 +9,8 @@ sync in the iteration `while_loop`), with metric reductions riding ICI
 collectives.
 """
 
+import warnings
+from collections import OrderedDict
 from functools import partial
 from typing import Dict, Optional
 
@@ -76,7 +78,33 @@ def _fleet_x0s(spec: Spec, overrides, U0s):
     return jnp.asarray(x0s)
 
 
-_fleet_cache: Dict[tuple, object] = {}
+# Compiled-solver memo, LRU-bounded: a long-lived service sweeping many
+# distinct specs must not retain every compiled fleet program forever.
+_FLEET_CACHE_MAX = 32
+_fleet_cache: "OrderedDict[tuple, object]" = OrderedDict()
+
+
+def _fleet_cache_get(key):
+    solver = _fleet_cache.get(key)
+    if solver is not None:
+        _fleet_cache.move_to_end(key)
+    return solver
+
+
+def _fleet_cache_put(key, solver):
+    _fleet_cache[key] = solver
+    _fleet_cache.move_to_end(key)
+    while len(_fleet_cache) > _FLEET_CACHE_MAX:
+        _fleet_cache.popitem(last=False)
+
+
+def _warn_fleet_fallback(exc):
+    """The fleet fast path is ~18x faster than the vmap fallback; a dispatch
+    bug silently routing everything to vmap would present as an unexplained
+    order-of-magnitude throughput collapse. Make it loud."""
+    warnings.warn(
+        f"fleet dispatch failed ({type(exc).__name__}: {exc}); falling back "
+        f"to the ~18x-slower vmap path", RuntimeWarning, stacklevel=3)
 
 
 def _spec_fingerprint(spec: Spec):
@@ -123,19 +151,20 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
     if prefer_fleet:
         try:
             use, ov_names = _fleet_dispatch(spec, overrides)
-        except Exception:
+        except Exception as e:
+            _warn_fleet_fallback(e)
             use = False
         if use:
             from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
 
             key = (_spec_fingerprint(spec), int(nb_iter), bool(line_search),
                    bool(early_stop), ov_names)
-            solver = _fleet_cache.get(key)
+            solver = _fleet_cache_get(key)
             if solver is None:
                 solver = make_fleet_solver(spec, int(nb_iter),
                                            bool(line_search), bool(early_stop),
                                            overrides=ov_names)
-                _fleet_cache[key] = solver
+                _fleet_cache_put(key, solver)
             x0s = _fleet_x0s(spec, overrides, U0s)
             if ov_names:
                 # sequential specs pass per-sub LISTS; leave those intact
@@ -176,20 +205,21 @@ def solve_batch_al(spec: Spec, constraints, lam0, overrides,
             from ilqr_planner_tpu.solvers.fleet import (fleet_supported,
                                                         make_fleet_solver_al)
             use = fleet_supported(spec)
-        except Exception:
+        except Exception as e:
+            _warn_fleet_fallback(e)
             use = False
         if use:
             key = (_spec_fingerprint(spec), "al", int(nb_iter),
                    int(lag_update_step), float(penalty), float(scaling_factor),
                    bool(line_search), bool(early_stop),
                    _spec_fingerprint(constraints))
-            solver = _fleet_cache.get(key)
+            solver = _fleet_cache_get(key)
             if solver is None:
                 solver = make_fleet_solver_al(
                     spec, constraints, int(nb_iter), int(lag_update_step),
                     float(penalty), float(scaling_factor), bool(line_search),
                     bool(early_stop))
-                _fleet_cache[key] = solver
+                _fleet_cache_put(key, solver)
             x0s = _fleet_x0s(spec, overrides, U0s)
             return solver(x0s, jnp.asarray(U0s), jnp.asarray(lam0))
 
@@ -389,19 +419,20 @@ def solve_batch_sharded(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
     if prefer_fleet:
         try:
             use, ov_names = _fleet_dispatch(spec, overrides)
-        except Exception:
+        except Exception as e:
+            _warn_fleet_fallback(e)
             use = False
         if use:
             from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
 
             key = (_spec_fingerprint(spec), int(nb_iter), bool(line_search),
                    bool(early_stop), ov_names)
-            solver = _fleet_cache.get(key)
+            solver = _fleet_cache_get(key)
             if solver is None:
                 solver = make_fleet_solver(spec, int(nb_iter),
                                            bool(line_search), bool(early_stop),
                                            overrides=ov_names)
-                _fleet_cache[key] = solver
+                _fleet_cache_put(key, solver)
             x0s = _fleet_x0s(spec, overrides, U0s)
             U0s = jnp.asarray(U0s)
             ov = {k: overrides[k] if isinstance(overrides[k], (list, tuple))
@@ -426,9 +457,18 @@ def solve_batch_sharded(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s,
     spec_b, spec_axes = batch_specs(spec, overrides)
 
     # Partition specs: overridden (scenario-batched) leaves shard over `axis`,
-    # everything else is replicated.
+    # everything else is replicated. Mirrors batch_specs: list-valued
+    # overrides (sequential specs) land on the matching subs[i] leaves.
+    top = {k for k, v in overrides.items() if not isinstance(v, (list, tuple))}
+    subl = {k: v for k, v in overrides.items() if isinstance(v, (list, tuple))}
     spec_pspec = jax.tree_util.tree_map(lambda _: P(), spec)
-    spec_pspec = spec_pspec.replace(**{k: P(axis) for k in overrides})
+    spec_pspec = spec_pspec.replace(**{k: P(axis) for k in top})
+    if subl:
+        new_subs = []
+        for i, sub_ps in enumerate(spec_pspec.subs):
+            rep = {k: P(axis) for k, v in subl.items() if v[i] is not None}
+            new_subs.append(sub_ps.replace(**rep))
+        spec_pspec = spec_pspec.replace(subs=tuple(new_subs))
 
     kp_steps = ilqr.static_kp_steps(spec_b)
 

@@ -156,11 +156,12 @@ def _backward(spec: Spec, cons: Constraints, lam, X, fX, U, As, Bs, Js, Is, Cs):
 
 
 @partial(jax.jit, static_argnames=("nb_iter", "lag_update_step", "line_search",
-                                   "early_stop", "with_callback", "kp_steps"))
+                                   "early_stop", "with_callback", "kp_steps",
+                                   "guard"))
 def _solve_impl(spec: Spec, cons: Constraints, lam0, U0, nb_iter: int,
                 lag_update_step: int, penalty0, scaling_factor,
                 line_search: bool, early_stop: bool, with_callback: bool,
-                kp_steps=None, cb_id=None):
+                kp_steps=None, cb_id=None, guard: bool = False):
     with jax.default_matmul_precision("float32"):
         if not with_callback and kp_steps is not None:
             # Fast path (same restructuring as ilqr._solve_body_sparse):
@@ -171,15 +172,15 @@ def _solve_impl(spec: Spec, cons: Constraints, lam0, U0, nb_iter: int,
             return _solve_body_sparse(spec, cons, lam0, U0, nb_iter,
                                       lag_update_step, penalty0,
                                       scaling_factor, line_search, early_stop,
-                                      kp_steps)
+                                      kp_steps, guard)
         return _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step,
                            penalty0, scaling_factor, line_search, early_stop,
-                           with_callback, cb_id)
+                           with_callback, cb_id, guard)
 
 
 def _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step, penalty0,
                 scaling_factor, line_search, early_stop, with_callback,
-                cb_id=None):
+                cb_id=None, guard=False):
     dtype = spec.x0.dtype
     H, nu, nx = spec.horizon, spec.nu, spec.nx
     penalty0 = jnp.asarray(penalty0, dtype)
@@ -213,6 +214,21 @@ def _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step, penalty0,
         _, _, alpha, out = jax.lax.while_loop(ls_cond, ls_body, s0)
         Xn, fXn, Un, Asn, Bsn, Jsn, Isn, Csn, costn, du_acc = out
 
+        if guard:
+            # Guarded mode (see ilqr._solve_body): a floored-out line search
+            # with no finite improving trial keeps the incumbent trajectory
+            # and freezes, instead of the reference's unconditional adoption
+            # of the last trial (AL-ILQR.cpp:149-199).
+            accepted = (costn < cost0) & ~jnp.isnan(costn)
+            keep = lambda o, n: jnp.where(accepted, n, o)  # noqa: E731
+            (Xn, fXn, Un, Asn, Bsn, Jsn, Isn, Csn, costn) = (
+                jax.tree_util.tree_map(
+                    keep, (X, fX, U, As, Bs, Js, Is, Cs, cost0),
+                    (Xn, fXn, Un, Asn, Bsn, Jsn, Isn, Csn, costn)))
+            guard_frozen = ~accepted
+        else:
+            guard_frozen = jnp.asarray(False)
+
         # Dual/penalty update every lag_update_step iterations (cpp:202-208).
         do_update = ((it + 1) % lag_update_step) == 0
         new_penalty = jnp.where(do_update, penalty * scaling, penalty)
@@ -222,7 +238,7 @@ def _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step, penalty0,
             jax.debug.callback(_emit_progress, cb_id, it + 1, costn, alpha,
                                ordered=True)
 
-        done = early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)
+        done = (early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)) | guard_frozen
         return (Xn, fXn, Un, Asn, Bsn, Jsn, Isn, Csn, costn, new_lam,
                 new_penalty, it + 1, done)
 
@@ -311,7 +327,7 @@ def _backward_core_al(spec: Spec, As, Bs, l_x, l_u, l_xx, lN_x, lN_xx,
 
 def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
                        penalty0, scaling_factor, line_search, early_stop,
-                       kp_steps):
+                       kp_steps, guard=False):
     """Control-flow- and FK-restructured AL-iLQR with identical numerics.
 
     The dynamics and constraints never touch FK, so line-search trials run
@@ -370,9 +386,18 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
 
         dummy = (X, U, cost0, jnp.asarray(0.0, dtype),
                  jnp.asarray(1.0, dtype))
-        (_, picked), _ = jax.lax.scan(
+        (acc, picked), _ = jax.lax.scan(
             trial, (jnp.asarray(False), dummy), alphas)
         Xn, Un, costn, du_acc, alpha = picked
+
+        if guard:
+            # Guarded mode (see ilqr._solve_body_sparse): floored out with
+            # no finite improving trial -> keep the incumbent and freeze.
+            keep = lambda o, n: jnp.where(acc, n, o)  # noqa: E731
+            Xn, Un, costn = keep(X, Xn), keep(U, Un), keep(cost0, costn)
+            guard_frozen = ~acc
+        else:
+            guard_frozen = jnp.asarray(False)
 
         # Active sets from the accepted trajectory with the pre-update
         # lam/penalty — the values the accepted trial's rollout captured.
@@ -385,7 +410,8 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
                             jnp.maximum(lam + new_penalty * Csn, 0.0), lam)
 
         new = (Xn, Un, Isn, Csn, costn, new_lam, new_penalty, it + 1,
-               done | (early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3)))
+               done | (early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3))
+               | guard_frozen)
         old = (X, U, Is, Cs, cost0, lam, penalty, it, done)
         carry = jax.tree_util.tree_map(
             lambda o, n: jnp.where(done, o, n), old, new)
@@ -418,9 +444,17 @@ def solve(
     line_search: bool = True,
     early_stop: bool = True,
     callback: Optional[object] = None,
+    guard: bool = False,
 ) -> ALILQRResult:
     """AL_ILQR::solve(U0, nb_iter, lag_update_step, penalty, scaling_factor,
-    line_search, early_stop, cb) (AL-ILQR.h:35-55)."""
+    line_search, early_stop, cb) (AL-ILQR.h:35-55).
+
+    guard: opt-in divergence guard (default off for reference parity),
+    mirroring ilqr.solve(guard=True): a floored-out line search with no
+    finite improving trial keeps the incumbent trajectory and stops, instead
+    of the reference's unconditional adoption of the last trial
+    (AL-ILQR.cpp:149-199).
+    """
     U0 = jnp.asarray(U0)
     if U0.shape != (spec.horizon - 1, spec.nu):
         raise ValueError(f"U0 must be [{spec.horizon - 1}, {spec.nu}], got {U0.shape}")
@@ -431,14 +465,16 @@ def solve(
         return _solve_impl(spec, constraints, lam0, U0, int(nb_iter),
                            int(lag_update_step), float(penalty),
                            float(scaling_factor), bool(line_search),
-                           bool(early_stop), False, static_kp_steps(spec))
+                           bool(early_stop), False, static_kp_steps(spec),
+                           guard=bool(guard))
     cb_id = _register_cb(callback)
     try:
         res = _solve_impl(spec, constraints, lam0, U0, int(nb_iter),
                           int(lag_update_step), float(penalty),
                           float(scaling_factor), bool(line_search),
                           bool(early_stop), True, static_kp_steps(spec),
-                          cb_id=jnp.asarray(cb_id, jnp.int32))
+                          cb_id=jnp.asarray(cb_id, jnp.int32),
+                          guard=bool(guard))
         jax.block_until_ready(res)
         return res
     finally:

@@ -1150,7 +1150,25 @@ def _gains_value_lti1(cc: "_Consts", P, p, lxx_diag, lx, u, gxx):
 
 def _gains_value(Quu, Qux, Qu, Qxx, Qx):
     """Regularized gain elimination + UNregularized value recursion
-    (ILQRRecursive.cpp:89-94)."""
+    (ILQRRecursive.cpp:89-94), in the exact collapsed form.
+
+    With M = Quu + reg I and the gains from the regularized solve
+    M K = -Qux, M d = -Qu (cpp:89-91), every Quu-dependent product in the
+    unregularized recursion (cpp:93-94) cancels:
+
+        K'Quu K + K'Qux + Qxu K = K'(M K - reg K) + K'Qux + Qxu K
+                                = -reg K'K + Qxu K
+        K'(Quu d + Qu)          = K'(M d - reg d + Qu) = -reg K'd
+
+    so  P1 = Qxx + Qxu K - reg K'K,   p1 = Qx + Qxu d - reg K'd.
+
+    This is the general-(A, B) analogue of the first-order LTI collapse
+    (_gains_value_lti1) and serves the 2nd-order, AL, and time-optimal
+    kinds: ~2.5x fewer vector ops than forming K'QuuK/K'Qux explicitly,
+    and MORE stable in f32 (the large mutually-cancelling terms are never
+    formed). P1 is symmetric (Qxu K = -Qux' M^-1 Qux), so only the upper
+    triangle is computed.
+    """
     m = len(Quu)
     n = len(Qux[0])
     reg = 1e-6
@@ -1160,21 +1178,18 @@ def _gains_value(Quu, Qux, Qu, Qxx, Qx):
     K = [[_neg(sol[i][j]) for j in range(n)] for i in range(m)]
     d = [_neg(sol[i][n]) for i in range(m)]
 
-    QuuK = [[_dot(Quu[i], [K[r][j] for r in range(m)]) for j in range(n)]
-            for i in range(m)]
-    Quud = [_dot(Quu[i], d) for i in range(m)]
-    P1 = [[_add(_add(Qxx[i][j],
-                     _dot([K[r][i] for r in range(m)],
-                          [QuuK[r][j] for r in range(m)])),
-                _add(_dot([K[r][i] for r in range(m)],
-                          [Qux[r][j] for r in range(m)]),
-                     _dot([Qux[r][i] for r in range(m)],
-                          [K[r][j] for r in range(m)])))
-           for j in range(n)] for i in range(n)]
-    p1 = [_add(_add(Qx[i],
-                    _dot([K[r][i] for r in range(m)], Quud)),
-               _add(_dot([K[r][i] for r in range(m)], Qu),
-                    _dot([Qux[r][i] for r in range(m)], d)))
+    P1 = [[None] * n for _ in range(n)]
+    for i in range(n):
+        Ki = [K[r][i] for r in range(m)]
+        Qxi = [Qux[r][i] for r in range(m)]
+        for j in range(i, n):
+            acc = _add(Qxx[i][j], _dot(Qxi, [K[r][j] for r in range(m)]))
+            acc = _sub_(acc, _mul(reg, _dot(Ki, [K[r][j] for r in range(m)])))
+            P1[i][j] = acc
+            if j != i:
+                P1[j][i] = acc
+    p1 = [_sub_(_add(Qx[i], _dot([Qux[r][i] for r in range(m)], d)),
+                _mul(reg, _dot([K[r][i] for r in range(m)], d)))
           for i in range(n)]
     return P1, p1, K, d
 
@@ -1212,8 +1227,17 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
     # per-step inputs/outputs, dense keypoint Hessians only at the static
     # keypoint steps (ops/pallas_kernels/segment_backward.py). ---
     mode = getattr(cc, "backward_impl", "auto")
-    if mode != "xla" and al is None and cc.nb_deriv == 1 and not cc.time \
-            and m == n:
+    pallas_scope = al is None and cc.nb_deriv == 1 and not cc.time and m == n
+    if mode in ("pallas", "pallas_interpret") and not pallas_scope:
+        # Loud failure, matching segment_backward_pallas's behavior on an
+        # untileable B: silently running the XLA scan here would let bench
+        # configs report XLA numbers as Pallas.
+        raise ValueError(
+            f"backward={mode!r} requested but the workload is outside the "
+            f"Pallas sweep's scope (needs first-order LTI, m == n, no AL "
+            f"terms; got nb_deriv={cc.nb_deriv}, time={cc.time}, "
+            f"m={m}, n={n}, al={'set' if al is not None else 'None'})")
+    if mode != "xla" and pallas_scope:
         from ilqr_planner_tpu.ops.pallas_kernels.segment_backward import (
             pallas_backward_supported, segment_backward_pallas)
 
@@ -1434,9 +1458,159 @@ def _run_trials(cc: "_Consts", a_sched, X, U, cost0, Ks, ds, x0, ovb,
     return picked
 
 
+# ---------------------------------------------------------------------------
+# affine line search: for the LTI kinds (everything except sqrt-dt time-
+# optimal, whose B depends on u), the closed-loop trial dynamics
+#     x_{k+1} = A x_k + B (uo_k + K_k (x_k - xo_k) + alpha d_k)
+# are affine in BOTH x and alpha, so the whole trial trajectory is EXACTLY
+#     X(alpha) = Xbase + alpha * Xdir,   U(alpha) = Ubase + alpha * Udir
+# with (Xbase, Xdir) from ONE scan carrying both (the alpha=0 rollout and
+# its alpha-sensitivity). Each backtracking trial then needs no scan at
+# all: the cost of X(alpha) is a handful of parallel whole-array ops
+# (limit penalty over [H, n, B], keypoint FK at the static steps, control
+# quadratics), and ||du(alpha)|| per step is a per-step quadratic in alpha
+# whose three coefficients the scan already produced. Identical decisions
+# to the sequential re-rollouts (ILQRRecursive.cpp:101-157) up to
+# reduction-order rounding; the measured ~2.5 average rollout passes per
+# iteration collapse to 1.
+# ---------------------------------------------------------------------------
+
+def _limit_cost_full(cc: "_Consts", X):
+    """Total limit-penalty cost of a whole trajectory [H, n, B] -> [B]
+    (same math as _limit_cost_arr, one shot over the horizon)."""
+    cost = jnp.zeros_like(X[0, 0])
+    for sc in cc.subs:
+        if not sc.limits_set:
+            continue
+        smax = jnp.asarray(np.asarray(sc.smax, cc.np_dtype))[None, :, None]
+        smin = jnp.asarray(np.asarray(sc.smin, cc.np_dtype))[None, :, None]
+        w = jnp.asarray(np.asarray(sc.weight, cc.np_dtype))[None, :, None]
+        over = X > smax
+        under = X < smin
+        active = (w != 0) & (over | under)
+        Ld = jnp.where(active, sc.penalty, 0.0).astype(X.dtype)
+        ql = jnp.where(over, smax - X, jnp.where(under, smin - X, 0.0))
+        ql = jnp.where(active, ql, 0.0).astype(X.dtype)
+        cost = cost + jnp.sum(Ld * ql * ql, axis=(0, 1))
+    return cost
+
+
+def _affine_family(cc: "_Consts", Ks, ds, Xref, Uref, x0):
+    """One scan -> the exact affine trial family:
+    Xb/Xd [H, n, B], Ub/Ud [H-1, m, B], and the per-step ||du||^2 quadratic
+    coefficients (a, b, c) [H-1, B] with ||du_k(alpha)||^2 =
+    a_k + 2 alpha b_k + alpha^2 c_k."""
+    dof = cc.dof
+    dt = cc.dt
+
+    def step(carry, inp):
+        xb, xd = carry
+        K, d, xo, uo = inp
+        dub = jnp.sum(K * (xb - xo)[None, :, :], axis=1)
+        dud = jnp.sum(K * xd[None, :, :], axis=1) + d
+        ub = uo + dub
+        if cc.nb_deriv == 2:
+            # semi-implicit Euler (SimulationInterface.cpp:19-26), applied
+            # to the base point and (linearly) to the direction
+            xb1 = jnp.concatenate(
+                [xb[:dof] + dt * xb[dof:] + (0.5 * dt * dt) * ub,
+                 xb[dof:] + dt * ub])
+            xd1 = jnp.concatenate(
+                [xd[:dof] + dt * xd[dof:] + (0.5 * dt * dt) * dud,
+                 xd[dof:] + dt * dud])
+        else:
+            xb1 = xb + dt * ub
+            xd1 = xd + dt * dud
+        qa = jnp.sum(dub * dub, axis=0)
+        qb = jnp.sum(dub * dud, axis=0)
+        qc = jnp.sum(dud * dud, axis=0)
+        return (xb1, xd1), (xb1, xd1, ub, dud, qa, qb, qc)
+
+    xd0 = jnp.zeros_like(x0)
+    (_, _), (Xbs, Xds, Ub, Ud, qa, qb, qc) = jax.lax.scan(
+        step, (x0, xd0), (Ks, ds, Xref[:-1], Uref), unroll=cc.unroll)
+    Xb = jnp.concatenate([x0[None], Xbs], axis=0)
+    Xd = jnp.concatenate([xd0[None], Xds], axis=0)
+    return Xb, Xd, Ub, Ud, qa, qb, qc
+
+
+def _run_trials_affine(cc: "_Consts", a_sched, X, U, cost0, Ks, ds, x0, ovb,
+                       inactive):
+    """Drop-in replacement for _run_trials on the LTI kinds: same first-
+    passing-alpha/floor-out decisions (ILQRRecursive.cpp:101-157), but the
+    alpha grid is walked with SCAN-FREE trials over the precomputed affine
+    family — the early-exit while_loop stays (the common all-accept-alpha=1
+    regime evaluates one trial), each trial now a few fused whole-array
+    passes instead of an H-step rollout."""
+    B = cost0.shape[0]
+    dtype = cost0.dtype
+    H, m = cc.H, cc.m
+    n_alpha = a_sched.shape[0]
+    Xb, Xd, Ub, Ud, qa, qb, qc = _affine_family(cc, Ks, ds, X, U, x0)
+
+    def trial(a):
+        Xa = Xb + a * Xd
+        cost = _limit_cost_full(cc, Xa)
+        for k in cc.kp_steps:
+            if k < H - 1:
+                uk = Ub[k] + a * Ud[k]
+                for i_sub, _ in cc.kp_at[k]:
+                    sc = cc.subs[i_sub]
+                    cost = cost + sum(sc.Rt[i] * uk[i] * uk[i]
+                                      for i in range(m))
+            kc, _, _ = _kp_terms_at(cc, k, _rows(Xa[k]), False, ovb)
+            cost = cost + kc
+        # ||du_k(alpha)||^2 is exactly a_k + 2 alpha b_k + alpha^2 c_k >= 0;
+        # clamp the rounding tail before the sqrt.
+        du = jnp.sum(jnp.sqrt(jnp.maximum(
+            qa + (2.0 * a) * qb + (a * a) * qc, 0.0)), axis=0)
+        return cost, du
+
+    dummy = (cost0, jnp.zeros((B,), dtype), jnp.ones((B,), dtype))
+
+    def cond(st):
+        i, accepted, _ = st
+        return (i < n_alpha) & ~jnp.all(accepted)
+
+    def body(st):
+        i, accepted, best = st
+        a = a_sched[i]
+        ct, dut = trial(a)
+        ok = (ct < cost0) & ~jnp.isnan(ct)
+        take = ~accepted  # first passing alpha wins; floor-out sticks
+        sel = lambda b, o: jnp.where(take, o, b)
+        best = (sel(best[0], ct), sel(best[1], dut),
+                sel(best[2], jnp.broadcast_to(a, (B,))))
+        return (i + 1, accepted | ok, best)
+
+    _, _, (costn, du_acc, alpha) = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), inactive, dummy))
+    Xn = Xb + alpha[None, None, :] * Xd
+    Un = Ub + alpha[None, None, :] * Ud
+    return Xn, Un, costn, du_acc, alpha
+
+
+def _pick_ls_mode(cc: "_Consts", ls: str) -> bool:
+    """Resolve the line-search implementation knob -> use_affine bool.
+
+    'auto': affine for the LTI kinds (everything except sqrt-dt time-
+    optimal, whose B depends on u so the trial family is not affine in
+    alpha), scan otherwise. 'affine'/'scan' force (affine on a time-optimal
+    kind is a hard error — the algebra does not apply)."""
+    if ls not in ("auto", "affine", "scan"):
+        raise ValueError(f"ls must be auto/affine/scan, got {ls!r}")
+    if ls == "affine" and cc.time:
+        raise ValueError(
+            "ls='affine' requires LTI dynamics; the sqrt-dt time-optimal "
+            "kinds have control-dependent B (PosOrnTimePlannerSys.cpp:"
+            "149-184) so trial trajectories are not affine in alpha")
+    return ls == "affine" or (ls == "auto" and not cc.time)
+
+
 def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
                       early_stop: bool = True, overrides=(), unroll: int = 1,
-                      backward: str = "auto"):
+                      backward: str = "auto", ls: str = "auto",
+                      record: bool = False):
     """Build a jitted lane-major fleet solve: (x0s [B,n], U0s [B,H-1,nu]
     [, ov]) -> ILQRResult with a leading scenario axis. The spec must be
     concrete (not traced); its arrays fold into the program as constants.
@@ -1449,6 +1623,15 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
     backward: 'auto' (Pallas whole-sweep kernel when the workload and
     backend support it, else the XLA segmented scan), 'xla', 'pallas'
     (force), or 'pallas_interpret' (force, interpreter mode — CPU tests).
+
+    ls: line-search implementation — 'auto' (the scan-free affine-family
+    trials on LTI kinds, sequential re-rollouts on time-optimal kinds),
+    'affine' or 'scan' to force. Affine evaluates identical accept/floor
+    decisions up to reduction-order rounding (see _run_trials_affine).
+
+    record: return per-lane per-iteration {"cost": [B, nb_iter], "alpha":
+    [B, nb_iter]} buffers in result.progress (NaN beyond each lane's
+    executed iterations) — tunnel-safe progress without host callbacks.
     """
     if backward not in ("auto", "xla", "pallas", "pallas_interpret"):
         raise ValueError(f"backward must be auto/xla/pallas/pallas_interpret,"
@@ -1456,6 +1639,7 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
     cc = _Consts(spec, overrides)
     cc.unroll = int(unroll)
     cc.backward_impl = backward
+    use_affine = _pick_ls_mode(cc, ls)
     n, m, H = cc.n, cc.m, cc.H
     a_sched = _alpha_schedule(cc, line_search)
     ov_names = tuple(overrides)
@@ -1472,11 +1656,12 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
         X, U, cost0, _ = _rollout(cc, 0.0, zK, zd, zX, U0, x0, ovb)
 
         def iter_body(carry):
-            X, U, cost0, Ks, ds, it, done, alpha_l, du_l = carry
+            X, U, cost0, Ks, ds, it, done, alpha_l, du_l = carry[:9]
             active = ~done & (it < nb_iter)
             Ks_n, ds_n = _backward(cc, X, U, ovb)
-            picked = _run_trials(cc, a_sched, X, U, cost0, Ks_n, ds_n, x0,
-                                 ovb, ~active)
+            run = _run_trials_affine if use_affine else _run_trials
+            picked = run(cc, a_sched, X, U, cost0, Ks_n, ds_n, x0,
+                         ovb, ~active)
             Xn, Un, costn, du_acc, alpha = picked
 
             new_done = done | (early_stop
@@ -1484,6 +1669,14 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
                                & (costn < 1e-3))
             new = (Xn, Un, costn, Ks_n, ds_n, it + 1, new_done, alpha, du_acc)
             old = (X, U, cost0, Ks, ds, it, done, alpha_l, du_l)
+            if record:
+                # per-lane (cost, alpha) row write at each lane's own
+                # executed-iteration index (tunnel-safe progress buffer)
+                pc, pa = carry[9], carry[10]
+                row = jnp.arange(nb_iter)[:, None] == it[None, :]
+                new = new + (jnp.where(row, costn[None, :], pc),
+                             jnp.where(row, alpha[None, :], pa))
+                old = old + (pc, pa)
             return jax.tree_util.tree_map(
                 lambda o, nw: jnp.where(active, nw, o), old, new)
 
@@ -1499,8 +1692,14 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
         carry0 = (X, U, cost0, zK, zd, jnp.zeros((B,), jnp.int32),
                   jnp.zeros((B,), bool), jnp.ones((B,), dtype),
                   jnp.zeros((B,), dtype))
-        X, U, cost, Ks, ds, it, done, alpha, _ = jax.lax.while_loop(
-            iter_cond, iter_body, carry0)
+        if record:
+            nanf = jnp.full((nb_iter, B), jnp.nan, dtype)
+            carry0 = carry0 + (nanf, nanf)
+        out = jax.lax.while_loop(iter_cond, iter_body, carry0)
+        X, U, cost, Ks, ds, it, done, alpha = out[:8]
+        progress = ({"cost": jnp.moveaxis(out[9], -1, 0),
+                     "alpha": jnp.moveaxis(out[10], -1, 0)}
+                    if record else None)
 
         fX = _fx_traj(cc, X)
         return ILQRResult(
@@ -1512,6 +1711,7 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
             cost=cost,
             iterations=it,
             alpha=alpha,
+            progress=progress,
         )
 
     return _FleetSolver(solve, jax.jit(solve))
@@ -1520,7 +1720,8 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
 def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
                          lag_update_step: int, penalty: float,
                          scaling_factor: float, line_search: bool = True,
-                         early_stop: bool = True, unroll: int = 1):
+                         early_stop: bool = True, unroll: int = 1,
+                         ls: str = "auto"):
     """Lane-major AL-iLQR fleet: (x0s [B,n], U0s [B,H-1,nu], lam0
     [nc] | [H-1,nc] | [B,H-1,nc]) -> ALILQRResult with a leading scenario
     axis. Reproduces al_ilqr._solve_body_sparse per lane: plain-cost line
@@ -1530,6 +1731,7 @@ def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
     (cpp:225) — per-lane masked so converged scenarios freeze."""
     cc = _Consts(spec)
     cc.unroll = int(unroll)
+    use_affine = _pick_ls_mode(cc, ls)
     n, m, H = cc.n, cc.m, cc.H
     A = np.asarray(constraints.A, cc.np_dtype)   # [H-1, nc, n+m]
     bv = np.asarray(constraints.b, cc.np_dtype)  # [H-1, nc]
@@ -1590,8 +1792,9 @@ def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
             active = ~done & (it < nb_iter)
             al = dict(al_static, Is=Is, g=g, lam=lam)
             Ks_n, ds_n = _backward(cc, X, U, None, al)
-            picked = _run_trials(cc, a_sched, X, U, cost0, Ks_n, ds_n, x0,
-                                 None, ~active)
+            run = _run_trials_affine if use_affine else _run_trials
+            picked = run(cc, a_sched, X, U, cost0, Ks_n, ds_n, x0,
+                         None, ~active)
             Xn, Un, costn, du_acc, alpha = picked
 
             # Active sets from the accepted trajectory with the pre-update

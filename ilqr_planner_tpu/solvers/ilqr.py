@@ -48,6 +48,12 @@ class ILQRResult:
     cost: jnp.ndarray
     iterations: jnp.ndarray
     alpha: jnp.ndarray
+    # Optional per-iteration record (solve(record=True)): a device-side
+    # {"cost": [nb_iter], "alpha": [nb_iter]} buffer filled at executed
+    # iterations (NaN beyond `iterations`) — the callback channel's
+    # information (ILQRRecursive.cpp:164-172) without host callbacks, which
+    # hang over remote-device transports (docs/round4_notes.md item 5).
+    progress: Optional[dict] = None
 
 
 def rollout(spec: Spec, alpha, Ks, ds, Xref, Uref):
@@ -207,22 +213,23 @@ def static_kp_steps(spec: Spec):
 
 @partial(jax.jit, static_argnames=("nb_iter", "line_search", "early_stop",
                                    "with_callback", "pscan", "kp_steps",
-                                   "guard"))
+                                   "guard", "record"))
 def _solve_impl(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
                 with_callback: bool, pscan: bool = False, kp_steps=None,
-                cb_id=None, guard: bool = False):
+                cb_id=None, guard: bool = False, record: bool = False):
     # TPU MXU default matmul precision is bfloat16, whose 8-bit mantissa
     # diverges the Gauss-Newton iteration (NaN after convergence); force full
     # f32 accumulation for every dot traced inside the solve. Matrices here
     # are tiny (<=15 dims), so the 3/6-pass penalty is irrelevant.
     with jax.default_matmul_precision("float32"):
         return _solve_body(spec, U0, nb_iter, line_search, early_stop,
-                           with_callback, pscan, kp_steps, cb_id, guard)
+                           with_callback, pscan, kp_steps, cb_id, guard,
+                           record)
 
 
 def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: bool,
                 with_callback: bool, pscan: bool = False, kp_steps=None,
-                cb_id=None, guard: bool = False):
+                cb_id=None, guard: bool = False, record: bool = False):
     if not with_callback and kp_steps is not None:
         # Fast path: identical numerics, restructured control flow and
         # FK-sparse evaluation (see _solve_body_sparse). The while_loop path
@@ -230,7 +237,7 @@ def _solve_body(spec: Spec, U0, nb_iter: int, line_search: bool, early_stop: boo
         # notifications mirror the reference's logging — and for callers
         # that cannot provide static keypoint steps.
         return _solve_body_sparse(spec, U0, nb_iter, line_search, early_stop,
-                                  pscan, kp_steps, guard)
+                                  pscan, kp_steps, guard, record)
     dtype = spec.x0.dtype
     H, nu, nx = spec.horizon, spec.nu, spec.nx
 
@@ -387,7 +394,7 @@ def _grads_sparse(spec: Spec, X, U, kp_steps):
 
 def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
                        early_stop: bool, pscan: bool, kp_steps,
-                       guard: bool = False):
+                       guard: bool = False, record: bool = False):
     """Control-flow- and FK-restructured solve with identical numerics.
 
     Three restructurings vs the reference-shaped while_loop path (results
@@ -418,7 +425,7 @@ def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
         alphas = jnp.ones((1,), dtype)  # single unconditional trial at 1
 
     def iter_body(carry, _):
-        X, U, cost0, Ks, ds, it, done, alpha_l, du_l = carry
+        X, U, cost0, Ks, ds, it, done, alpha_l, du_l = carry[:9]
         if lti:
             As, Bs = (), ()
         else:
@@ -466,6 +473,13 @@ def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
                        & (costn < 1e-3)) | guard_frozen,
                alpha, du_acc)
         old = (X, U, cost0, Ks, ds, it, done, alpha_l, du_l)
+        if record:
+            # Device-side per-iteration (cost, alpha) record — the callback
+            # channel's payload (ILQRRecursive.cpp:164-172) without host
+            # callbacks (unusable over remote-device transports).
+            pc, pa = carry[9], carry[10]
+            new = new + (pc.at[it].set(costn), pa.at[it].set(alpha))
+            old = old + (pc, pa)
         carry = jax.tree_util.tree_map(
             lambda o, n: jnp.where(done, o, n), old, new)
         return carry, None
@@ -473,11 +487,15 @@ def _solve_body_sparse(spec: Spec, U0, nb_iter: int, line_search: bool,
     carry0 = (X, U, cost0, zK, zd,
               jnp.asarray(0, jnp.int32), jnp.asarray(False),
               jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+    if record:
+        nanf = jnp.full((nb_iter,), jnp.nan, dtype)
+        carry0 = carry0 + (nanf, nanf)
     carry, _ = jax.lax.scan(iter_body, carry0, None, length=nb_iter)
-    X, U, cost, Ks, ds, it, done, alpha, _ = carry
+    X, U, cost, Ks, ds, it, done, alpha = carry[:8]
+    progress = ({"cost": carry[9], "alpha": carry[10]} if record else None)
     fX = jax.vmap(lambda x: funcs.fx_jac(spec, x)[0])(X)
     return ILQRResult(X=X, fX=fX, U=U, Ks=Ks, ds=alpha * ds, cost=cost,
-                      iterations=it, alpha=alpha)
+                      iterations=it, alpha=alpha, progress=progress)
 
 
 # Callback registry: solve() registers each callback under a fresh integer
@@ -515,6 +533,7 @@ def solve(
     callback: Optional[object] = None,
     backward: str = "scan",
     guard: bool = False,
+    record: bool = False,
 ) -> ILQRResult:
     """Solve the OCP from initial control sequence U0 [H-1, nu].
 
@@ -537,17 +556,25 @@ def solve(
     (POS_ORN_TIME_SYS_2ND.ipynb cell 11). With guard=True a floored-out
     line search keeps the incumbent trajectory and stops: the result is
     always the best finite iterate, never worse than the initial rollout.
+
+    record: return a device-side per-iteration {"cost", "alpha"} buffer in
+    result.progress (NaN beyond result.iterations) — the callback channel's
+    information without host callbacks, which hang over remote-device
+    transports (tunnel-safe; see docs/round4_notes.md item 5). Incompatible
+    with `callback` (which already delivers the live records).
     """
     U0 = jnp.asarray(U0)
     if U0.shape != (spec.horizon - 1, spec.nu):
         raise ValueError(f"U0 must be [{spec.horizon - 1}, {spec.nu}], got {U0.shape}")
     if backward not in ("scan", "pscan"):
         raise ValueError(f"backward must be 'scan' or 'pscan', got {backward!r}")
+    if record and callback is not None:
+        raise ValueError("record=True and callback are mutually exclusive")
     if callback is None:
         return _solve_impl(spec, U0, int(nb_iter), bool(line_search),
                            bool(early_stop), False,
                            backward == "pscan", static_kp_steps(spec),
-                           guard=bool(guard))
+                           guard=bool(guard), record=bool(record))
     cb_id = _register_cb(callback)
     try:
         res = _solve_impl(spec, U0, int(nb_iter), bool(line_search),

@@ -17,7 +17,13 @@ Usage:
 
 from collections import defaultdict
 
-from jax._src import monitoring
+# jax._src.monitoring is a private API: a JAX upgrade may move or rename it
+# (or the event keys below). Degrade to zero-reporting instead of breaking
+# bench.py/bench_table.py at import time.
+try:
+    from jax._src import monitoring
+except ImportError:  # pragma: no cover - depends on the installed jax
+    monitoring = None
 
 __all__ = ["CompileMeter"]
 
@@ -43,15 +49,20 @@ class CompileMeter:
             self._counts[name] += 1
 
     def __enter__(self):
+        if monitoring is None:
+            return self
         self._listener = self._on_event
-        monitoring.register_event_duration_secs_listener(self._listener)
+        try:
+            monitoring.register_event_duration_secs_listener(self._listener)
+        except Exception:  # pragma: no cover - renamed private API
+            self._listener = None
         return self
 
     def __exit__(self, *exc):
         if self._listener is not None:
             try:
                 monitoring.unregister_event_duration_listener(self._listener)
-            except ValueError:  # pragma: no cover - already removed
+            except Exception:  # pragma: no cover - already removed/renamed
                 pass
             self._listener = None
         return False
@@ -63,6 +74,8 @@ class CompileMeter:
         out = {k: round(self._sums.get(k, 0.0), 2)
                for k in ("trace_s", "lower_s", "xla_compile_s")}
         out["compiles"] = self._counts.get("xla_compile_s", 0)
+        if monitoring is None:  # pragma: no cover - depends on installed jax
+            out["meter_unavailable"] = True
         if wall_s is not None:
             attributed = sum(self._sums.values())
             out["other_s"] = round(max(0.0, wall_s - attributed), 2)

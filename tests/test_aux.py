@@ -162,3 +162,51 @@ def test_compile_meter_attributes_phases():
     with CompileMeter() as cm2:
         f(x).block_until_ready()
     assert cm2.report()["compiles"] == 0
+
+
+def test_record_progress_matches_callback_records(spec):
+    """solve(record=True): the device-side per-iteration (cost, alpha)
+    buffer must carry the callback channel's exact information — the
+    tunnel-safe substitute for host callbacks, which hang over the remote-
+    TPU transport (round-4 verdict weak item; docs/round4_notes.md item 5)."""
+    U0 = np.zeros((99, 7))
+    cb = MetricsCallback()
+    ilqr.solve(spec, U0, 6, callback=cb, early_stop=False)
+    res = ilqr.solve(spec, U0, 6, early_stop=False, record=True)
+    assert res.progress is not None
+    n_it = int(res.iterations)
+    assert n_it == len(cb.records)
+    np.testing.assert_allclose(np.asarray(res.progress["cost"])[:n_it],
+                               [r["cost"] for r in cb.records], rtol=1e-5)
+    # callback messages format with %g (6 significant digits)
+    np.testing.assert_allclose(np.asarray(res.progress["alpha"])[:n_it],
+                               [r["alpha"] for r in cb.records], rtol=1e-5)
+    # entries beyond the executed iterations are NaN
+    assert np.all(np.isnan(np.asarray(res.progress["cost"])[n_it:]))
+
+
+def test_fleet_record_progress_per_lane(spec):
+    """The fleet solver's record=True mirrors the single-problem buffer
+    lane by lane (early-stopped lanes' tails NaN)."""
+    from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
+
+    B = 3
+    rng = np.random.default_rng(7)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(B, 7))
+    U0s = np.zeros((B, 99, 7))
+    solver = make_fleet_solver(spec, 8, record=True)
+    res = solver(q0s, U0s)
+    assert res.progress["cost"].shape == (B, 8)
+    for b in range(B):
+        single = ilqr.solve(spec.replace(q0=q0s[b], x0=q0s[b]), U0s[b], 8,
+                            record=True)
+        n_it = int(res.iterations[b])
+        assert n_it == int(single.iterations)
+        np.testing.assert_allclose(
+            np.asarray(res.progress["cost"])[b, :n_it],
+            np.asarray(single.progress["cost"])[:n_it], rtol=1e-6,
+            atol=1e-14)
+        np.testing.assert_allclose(
+            np.asarray(res.progress["alpha"])[b, :n_it],
+            np.asarray(single.progress["alpha"])[:n_it], rtol=1e-12)
+        assert np.all(np.isnan(np.asarray(res.progress["cost"])[b, n_it:]))

@@ -569,8 +569,11 @@ def test_fleet_joint_time_2nd_order_exact_in_f64(panda_robot_f64):
                        prefer_fleet=False)
     fl1 = make_fleet_solver(spec, 1, line_search=False,
                             early_stop=False)(x0s, U0s)
+    # rtol: the fleet backward runs the exact collapsed value recursion
+    # (P1 = Qxx + Qxu K - reg K'K; round-5 _gains_value) — algebraically
+    # identical to the vmap path's long form, different rounding order.
     np.testing.assert_allclose(np.asarray(fl1.cost), np.asarray(ref1.cost),
-                               rtol=1e-12)
+                               rtol=1e-9)
     np.testing.assert_allclose(np.asarray(fl1.U), np.asarray(ref1.U),
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(fl1.Ks), np.asarray(ref1.Ks),
@@ -624,3 +627,24 @@ def test_fleet_sequential_overrides_exact_in_f64(panda_robot_f64):
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
                                atol=1e-9)
+
+
+def test_fleet_backward_pallas_forced_out_of_scope_raises(panda_robot):
+    """Forcing backward='pallas' on a workload outside the Pallas sweep's
+    scope must fail loudly instead of silently running the XLA scan
+    (advisor round-4 finding: bench configs could report XLA numbers as
+    Pallas)."""
+    kps = [PosOrnKeypoint(T1_POS, T1_ORN, np.diag([1, 1, 1, .1, .1, .1,
+                                                   1, 1, 1, 0, 0, 0]), 9,
+                          dposition=[0, 0, 0], dorientation=[0, 0, 0, 0])]
+    qmax = np.ones(7) * np.pi * 10
+    spec2 = make_spec("posorn", panda_robot, kps, np.ones(7) * 1e-5, 10, 2,
+                      dt=0.01, q0=Q0, q_max=qmax, q_min=-qmax,
+                      dq_max=np.ones(7) * 10, dq_min=-np.ones(7) * 10,
+                      dtype=np.float32)
+    solver = make_fleet_solver(spec2, 2, backward="pallas")
+    x0s = np.concatenate([np.tile(Q0[None], (2, 1)),
+                          np.zeros((2, 7))], axis=-1).astype(np.float32)
+    U0s = np.zeros((2, 9, 7), np.float32)
+    with pytest.raises(ValueError, match="outside the Pallas sweep"):
+        solver(x0s, U0s)
