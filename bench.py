@@ -29,11 +29,11 @@ import numpy as np
 
 REFERENCE_SOLVES_PER_S = 1.0 / 0.0192  # 19.2 ms/solve, 1 CPU core
 
-# Measured round 2 (fleet path): B=4608 -> 14.2k solves/s, B=9216 -> 23.9k
-# (the larger batch fills the 128-lane tiles better). Both programs are in
-# the persistent compile cache. Override with BENCH_BATCHES=a,b for sweeps.
+# Round-5 sweep (affine line search): B=9216 -> 79.3k solves/s, B=18432 ->
+# 81.5k (larger batches keep amortizing per-step overhead). Both programs
+# are in the persistent compile cache. Override with BENCH_BATCHES=a,b.
 BATCH_CANDIDATES = tuple(
-    int(b) for b in os.environ.get("BENCH_BATCHES", "9216,4608").split(","))
+    int(b) for b in os.environ.get("BENCH_BATCHES", "18432,9216").split(","))
 NB_ITER = 10
 REPEATS = 5
 
@@ -114,24 +114,30 @@ def _roofline(spec, batch, best_time_s, median_iters, jnp):
     # REFERENCE-ALGORITHM work (the long-form recursion's count, kept as the
     # round-over-round comparable "useful work" metric): backward step
     # Quu/Qux/Qxx ~3x49 FMA, Qu/Qx 21, stacked Gauss-Jordan ~450, value
-    # recursion ~1500 -> ~5 kFLOP/step. Since round 4 the EXECUTED backward
-    # uses the collapsed LTI recursion (fleet._gains_value_lti1 / the Pallas
-    # kernel): Cholesky+Minv ~800 MAC -> ~1.7 kFLOP/step — reported
+    # recursion ~1500 -> ~5 kFLOP/step, plus the 2.5-average-trial
+    # sequential line-search re-rollouts (~240 FLOP/step each) of the
+    # reference's backtracking. The EXECUTED program since round 5:
+    # collapsed LTI backward (fleet._gains_value_lti1 / Pallas kernel,
+    # ~1.7 kFLOP/step) + ONE affine-family scan per iteration (~480
+    # FLOP/step: base + direction) + ~1.3 scan-free trial passes (limit
+    # penalty + du quadratic, ~90 FLOP/step-equivalent) — reported
     # separately below; the sustained/peak fractions use the reference-work
     # count so they measure speedup-normalized utilization, not reward
-    # algorithmic shrinkage. Rollout step: du 49 FMA + integrate/limits/
-    # norm ~70 -> ~240 FLOP. Keypoint FK + GN terms ~4 kFLOP per evaluation.
+    # algorithmic shrinkage. Keypoint FK + GN terms ~4 kFLOP per evaluation.
     H = spec.horizon
-    trials_avg = 2.5  # measured early-exit average across iterations
+    trials_avg = 2.5  # reference backtracking average (kept for the
+    #                   reference-work accounting)
     flops_model = median_iters * ((H - 1) * 5000.0
                                   + trials_avg * (H - 1) * 240.0
                                   + 4 * 4000.0)
     flops_executed = median_iters * ((H - 1) * 1700.0
-                                     + trials_avg * (H - 1) * 240.0
+                                     + (H - 1) * 480.0
+                                     + 1.3 * (H - 1) * 90.0
                                      + 4 * 4000.0)
-    # HBM model: per iteration the backward writes K,d ([H-1, 56] f32) and
-    # each trial pass re-reads them plus X/U reference trajectories.
-    bytes_model = median_iters * (H - 1) * 56 * 4 * (1 + trials_avg + 1.5)
+    # HBM model: per iteration the backward writes K,d ([H-1, 56] f32), the
+    # affine scan re-reads them once, and the trial passes + finalize read
+    # the [H, n] base/direction trajectories.
+    bytes_model = median_iters * (H - 1) * 56 * 4 * (1 + 1 + 1.5)
     tflops = flops_model * batch / best_time_s / 1e12
     gbps = bytes_model * batch / best_time_s / 1e9
     out.update({

@@ -13,6 +13,7 @@ is written to --out (default BENCH_TABLE.json at the repo root).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -27,6 +28,11 @@ QD6 = [1, 1, 1, 0.1, 0.1, 0.1]
 REPEATS = 5
 
 
+def _B(default):
+    """Row batch size, overridable via BENCH_ROW_B for sweeps."""
+    return int(os.environ.get("BENCH_ROW_B", default))
+
+
 def _q0s(B, sigma=0.05, seed=0):
     rng = np.random.default_rng(seed)
     return (np.asarray(Q0)[None] + sigma * rng.normal(size=(B, 7))).astype(
@@ -38,7 +44,7 @@ def _row_flagship(jnp):
     from ilqr_planner_tpu.parallel import solve_batch
 
     spec = _panda_spec(100, 49, 99, jnp.float32)
-    B = 9216
+    B = _B(9216)
     q0s = _q0s(B)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((B, 99, 7), jnp.float32)
@@ -81,7 +87,7 @@ def _row_second_order(jnp):
                           dposition=[0, 0, 0], dorientation=[0, 0, 0, 0])]
     spec = _build_spec("posorn", kps, H, 2, dt=0.01,
                        dq_max=np.ones(7) * 10, dq_min=-np.ones(7) * 10)
-    B = 2048
+    B = _B(4096)  # round-5 sweep: 5,230/s at 4096 vs 4,873 at 2048
     q0s = _q0s(B)
     x0s = np.concatenate([q0s, np.zeros_like(q0s)], axis=-1)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(x0s)}
@@ -104,7 +110,7 @@ def _row_time_optimal(jnp):
            SpacetimeKeypoint(T2_POS, T2_ORN, np.diag(QD6 + [0.1]), 99, 5.0)]
     spec = _build_spec("posorn_time", kps, H, 1, rt_dim=8, dt=None,
                        q0=np.zeros(7))
-    B = 2048
+    B = _B(2048)
     rng = np.random.default_rng(1)
     q0s = (0.05 * rng.normal(size=(B, 7))).astype(np.float32)  # around 0
     x0s = np.concatenate([q0s, np.zeros((B, 1), np.float32)], axis=-1)
@@ -133,15 +139,14 @@ def _row_al_h400(jnp):
     b = np.zeros(14, np.float32)
     b[5] = 2.0
     cons = Constraints.uniform(jnp.asarray(A), jnp.asarray(b), H)
-    B = 4096
+    B = _B(8192)  # round-5 sweep: 2,687/s at 8192 vs 2,543 at 4096
     q0s = _q0s(B)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
 
     def run():
         # Straggler-aware two-stage schedule: identical results to the
-        # direct 100-iteration solve (see solve_batch_al_staged), measured
-        # 687 -> 1,125 solves/s at B=4096 on the v5e chip.
+        # direct 100-iteration solve (see solve_batch_al_staged).
         from ilqr_planner_tpu.parallel import solve_batch_al_staged
         return solve_batch_al_staged(spec, cons, jnp.asarray(b), ov, U0s,
                                      100, 5, 0.25, 1.1, first_stage=45,
@@ -183,7 +188,7 @@ def _row_sequential_h600(jnp):
                      cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax,
                      dtype=jnp.float32)
     spec = sequential_spec((sub1, sub2), cmd, dtype=jnp.float32)
-    B = 1024
+    B = _B(1024)
     q0s = _q0s(B, sigma=0.02)
     ov = {"x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
@@ -200,7 +205,7 @@ def _row_batch_gn(jnp):
     from ilqr_planner_tpu.parallel import solve_batch_gn
 
     spec = _panda_spec(100, 49, 99, jnp.float32)
-    B = 4096
+    B = _B(4096)
     q0s = _q0s(B)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     u0s = jnp.zeros((B, 99 * 7), jnp.float32)
@@ -220,7 +225,7 @@ def _row_batch_cp(jnp):
     spec = _panda_spec(100, 49, 99, jnp.float32)
     psi = np.kron(primitives.build_psi_unitstep(99, 2),
                   np.eye(7)).astype(np.float32)
-    B = 4096
+    B = _B(4096)
     q0s = _q0s(B)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     u0s = jnp.zeros((B, 99 * 7), jnp.float32)
@@ -248,7 +253,7 @@ def _row_planar2d(jnp):
            PointKeypoint([0.5, 1.6], np.eye(2), 99)]
     spec = make_spec("point", rob, kps, np.ones(3) * 1e-5, H, 1, dt=0.1,
                      q0=np.array([0.5, -0.2, 0.8]), dtype=jnp.float32)
-    B = 4096
+    B = _B(4096)
     rng = np.random.default_rng(2)
     q0s = (np.array([0.5, -0.2, 0.8])[None]
            + 0.05 * rng.normal(size=(B, 3))).astype(np.float32)
@@ -271,7 +276,7 @@ def _row_joint_h100(jnp):
     kps = [AngularKeypoint(np.asarray(Q0) + 0.3, np.eye(7), 49),
            AngularKeypoint(np.asarray(Q0) - 0.2, np.eye(7), 99)]
     spec = _build_spec("joint", kps, H, 1)
-    B = 4608
+    B = _B(4608)
     q0s = _q0s(B, seed=3)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
@@ -294,7 +299,7 @@ def _row_joint_time_h100(jnp):
            AngularTimeKeypoint(np.asarray(Q0) - 0.1,
                                np.diag([1.0] * 7 + [0.1]), 99, 5.0)]
     spec = _build_spec("joint_time", kps, H, 1, rt_dim=8, dt=None)
-    B = 2048
+    B = _B(2048)
     q0s = _q0s(B, sigma=0.02, seed=4)
     x0s = np.concatenate([q0s, np.zeros((B, 1), np.float32)], axis=-1)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(x0s)}
@@ -332,7 +337,7 @@ def _row_hybrid_h500(jnp):
         "posorn", robot, [PosOrnKeypoint(T2_POS, T2_ORN, np.diag(QD6), H - 1)],
         cmd, H, 1, dt=dt, q0=Q0, q_max=qmax, q_min=-qmax, dtype=jnp.float32)
     spec = sequential_spec((sub_joint, sub_task), cmd, dtype=jnp.float32)
-    B = 1024
+    B = _B(8192)  # round-5 sweep: 21,488/s at 8192 vs 13,105 at 1024
     q0s = _q0s(B, sigma=0.02, seed=5)
     ov = {"x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((B, H - 1, 7), jnp.float32)
@@ -369,7 +374,7 @@ def _row_objframe_h600(jnp):
         q_min=-qmax, dtype=jnp.float32)
     # B=4096: measured round 5 (12,290 vs 11,089 solves/s at B=1024 —
     # larger batches amortize the per-step launch overhead of H=600)
-    B = 4096
+    B = _B(4096)
     q0s = _q0s(B, sigma=0.02, seed=6)
     ov = {"x0": jnp.asarray(q0s), "q0": jnp.asarray(q0s)}
     U0s = jnp.zeros((B, H - 1, 7), jnp.float32)

@@ -40,6 +40,16 @@ class Robot:
         return 3 if self.kind == "chain" else 2
 
     def with_frame(self, T) -> "Robot":
+        if self.kind == "planar":
+            # The reference's TransformedSimulationInterface is likewise
+            # 3-D-only in practice: its 6x6 blockdiag(R, R) J' transform
+            # (cpp:53-58) cannot multiply Robot2D's 4 x dof Jacobian, so
+            # wrapping a planar sim dimension-fails there too. Fail early
+            # with a real message instead of a shape error at solve time.
+            raise ValueError(
+                "object frames require a 3-D (chain) robot; planar robots "
+                "have 2-D positions and 4 x dof Jacobians that a 4x4 "
+                "spatial frame cannot transform")
         return self.replace(frame=jnp.asarray(T))
 
     @staticmethod

@@ -244,6 +244,21 @@ def solve_batch_al(spec: Spec, constraints, lam0, overrides,
     return f(spec_b, constraints, lam0, jnp.asarray(U0s))
 
 
+@jax.jit
+def _gather_tree(tree, idx):
+    """Device-resident gather of every leaf's leading axis — ONE dispatch
+    (an eager per-leaf gather costs a compile + tunnel round-trip per leaf
+    on remote backends)."""
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a)[idx], tree)
+
+
+@partial(jax.jit, static_argnames=("nkeep",))
+def _scatter_merge(res1, res2, idx, nkeep):
+    """Scatter the re-solved straggler lanes back over the stage-1 result."""
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.asarray(a).at[idx].set(b[:nkeep]), res1, res2)
+
+
 def solve_batch_staged(spec: Spec, overrides, U0s, nb_iter: int,
                        first_stage: int = 6, bucket: int = 512, **kw):
     """Straggler-aware recursive-iLQR batch solve: identical results to
@@ -268,17 +283,11 @@ def solve_batch_staged(spec: Spec, overrides, U0s, nb_iter: int,
     pad = (-idx.size) % bucket
     idx_p = jnp.asarray(np.concatenate([idx, np.full(pad, idx[0],
                                                      idx.dtype)]))
-
-    def gather(v):
-        if isinstance(v, (list, tuple)):  # sequential per-sub override lists
-            return [None if e is None else jnp.asarray(e)[idx_p] for e in v]
-        return jnp.asarray(v)[idx_p]
-
-    ov2 = {k: gather(v) for k, v in overrides.items()}
-    res2 = solve_batch(spec, ov2, jnp.asarray(U0s)[idx_p], nb_iter, **kw)
-    idx_j = jnp.asarray(idx)
-    return jax.tree_util.tree_map(
-        lambda a, b: jnp.asarray(a).at[idx_j].set(b[:idx.size]), res1, res2)
+    # single-dispatch gather/scatter (lists in sequential overrides are
+    # pytrees; None entries pass through)
+    ov2, U0_2 = _gather_tree((overrides, jnp.asarray(U0s)), idx_p)
+    res2 = solve_batch(spec, ov2, U0_2, nb_iter, **kw)
+    return _scatter_merge(res1, res2, jnp.asarray(idx), nkeep=idx.size)
 
 
 def solve_batch_al_staged(spec: Spec, constraints, lam0, overrides, U0s,
@@ -317,18 +326,16 @@ def solve_batch_al_staged(spec: Spec, constraints, lam0, overrides, U0s,
     pad = (-idx.size) % bucket
     idx_p = jnp.asarray(np.concatenate([idx, np.full(pad, idx[0],
                                                      idx.dtype)]))
-    ov2 = {k: jnp.asarray(v)[idx_p] for k, v in overrides.items()}
     lam0_j = jnp.asarray(lam0)
-    lam2 = lam0_j[idx_p] if lam0_j.ndim == 3 else lam0_j
-    res2 = solve_batch_al(spec, constraints, lam2, ov2,
-                          jnp.asarray(U0s)[idx_p], nb_iter,
+    if lam0_j.ndim == 3:
+        ov2, U0_2, lam2 = _gather_tree(
+            (overrides, jnp.asarray(U0s), lam0_j), idx_p)
+    else:
+        ov2, U0_2 = _gather_tree((overrides, jnp.asarray(U0s)), idx_p)
+        lam2 = lam0_j
+    res2 = solve_batch_al(spec, constraints, lam2, ov2, U0_2, nb_iter,
                           lag_update_step, penalty, scaling_factor, **kw)
-    idx_j = jnp.asarray(idx)
-
-    def merge(a, b):
-        return jnp.asarray(a).at[idx_j].set(b[:idx.size])
-
-    return jax.tree_util.tree_map(merge, res1, res2)
+    return _scatter_merge(res1, res2, jnp.asarray(idx), nkeep=idx.size)
 
 
 def solve_batch_gn(spec: Spec, kp_idx, overrides: Dict[str, jnp.ndarray],
