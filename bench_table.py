@@ -491,10 +491,29 @@ def main():
     ap.add_argument("--out", default="/root/repo/BENCH_TABLE.json")
     ap.add_argument("--first-call-only", action="store_true",
                     help="time compile+first solve only, print one JSON line")
-    ap.add_argument("--warm", action="store_true",
-                    help="after the table, re-measure each row's first call "
-                         "in a fresh process (persistent-cache hit)")
+    ap.add_argument("--warm-only", action="store_true",
+                    help="measure each row's warm first call (fresh process, "
+                         "persistent-cache hit) and merge into --out. The "
+                         "parent never opens a device client — the tunnel "
+                         "tolerates only one client at a time — so run this "
+                         "as a SEPARATE invocation after the cold table run.")
     args = ap.parse_args()
+
+    if args.warm_only:
+        out_path = args.out or "/root/repo/BENCH_TABLE.json"
+        data = json.load(open(out_path))
+        names = (args.rows.split(",") if args.rows else
+                 [r["row"] for r in data.get("rows", []) if "error" not in r])
+        warm = _warm_measure(names)
+        for r in data.get("rows", []):
+            if r.get("row") in warm:
+                w = warm[r["row"]]
+                r["warm_first_call_s"] = w["first_call_s"]
+                r["warm_compile_split"] = w["compile_split"]
+                r["warm_process_wall_s"] = w["process_wall_s"]
+        json.dump(data, open(out_path, "w"), indent=1)
+        print(f"merged warm measurements into {out_path}", file=sys.stderr)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -525,14 +544,6 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             table.append({"row": name, "error": str(e)})
 
-    if args.warm:
-        warm = _warm_measure([r["row"] for r in table if "error" not in r])
-        for r in table:
-            if r["row"] in warm:
-                w = warm[r["row"]]
-                r["warm_first_call_s"] = w["first_call_s"]
-                r["warm_compile_split"] = w["compile_split"]
-                r["warm_process_wall_s"] = w["process_wall_s"]
 
     out = {"device": str(dev), "calib_s": round(calib_s, 4),
            "calib_nominal_s": CALIB_NOMINAL_S, "rows": table}

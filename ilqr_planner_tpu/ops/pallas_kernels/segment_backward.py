@@ -43,16 +43,23 @@ import jax.numpy as jnp
 __all__ = ["segment_backward_pallas", "pallas_backward_supported"]
 
 
+# Sublane-count candidates, largest first. Round-5 sweep with in-jit x20
+# repetition (single-call timings sit on the ~30 ms tunnel round-trip floor,
+# which contaminated the round-4 "30 us/step/tile" figure — the real cost is
+# ~5.8 us/step/1024-lane tile): LS = 16 measured 4.44 ms vs 4.56 at LS = 8
+# for the B = 8192 flagship sweep; LS = 32 regressed to 5.36 (VMEM pressure
+# outweighs the issue-count saving). Candidates therefore stop at 16.
+_LS_CANDIDATES = (16, 8, 4, 2, 1)
+
+
 def _pick_ls(B):
-    """Largest sublane count in (8, 4, 2, 1) whose (LS*128)-lane tile
+    """Largest sublane count in _LS_CANDIDATES whose (LS*128)-lane tile
     divides B; None when B is not a multiple of 128.
 
-    (Measured alternatives, kept for the record: LS = B/128 with G = 1
-    avoids the wrapper transposes but OOMs scoped VMEM at LS = 72, and a
-    B-minor output layout via strided DMA slices faulted the TPU worker.
-    The ~30 us/time-step Mosaic compute wall was identical at every
-    op-count/layout variant tried — see docs/round4_notes.md.)"""
-    for ls in (8, 4, 2, 1):
+    (Measured dead ends, kept for the record: whole-batch LS = B/128 with
+    G = 1 OOMs scoped VMEM at LS = 72, and a B-minor output layout via
+    strided DMA slices faulted the TPU worker — docs/round4_notes.md.)"""
+    for ls in _LS_CANDIDATES:
         if B % (ls * 128) == 0:
             return ls
     return None

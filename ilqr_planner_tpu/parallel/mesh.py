@@ -135,7 +135,7 @@ def _fleet_dispatch(spec: Spec, overrides) -> tuple:
 
 def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int,
                 line_search: bool = True, early_stop: bool = True,
-                prefer_fleet: bool = True):
+                prefer_fleet: bool = True, record: bool = False):
     """Solve a scenario batch of recursive-iLQR problems on one device.
 
     U0s: [B, H-1, nu]. overrides: per-scenario Spec leaves (leading axis B).
@@ -147,6 +147,9 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
     on the flagship workload; see docs/fleet_ab_r02.log). Identical
     numerics to ~1e-7 in f32 (reduction order); set prefer_fleet=False to
     force the vmap path.
+
+    record=True returns per-lane per-iteration {"cost", "alpha"} buffers in
+    result.progress (tunnel-safe progress; see ilqr.solve(record=True)).
     """
     if prefer_fleet:
         try:
@@ -158,12 +161,13 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
             from ilqr_planner_tpu.solvers.fleet import make_fleet_solver
 
             key = (_spec_fingerprint(spec), int(nb_iter), bool(line_search),
-                   bool(early_stop), ov_names)
+                   bool(early_stop), ov_names, bool(record))
             solver = _fleet_cache_get(key)
             if solver is None:
                 solver = make_fleet_solver(spec, int(nb_iter),
                                            bool(line_search), bool(early_stop),
-                                           overrides=ov_names)
+                                           overrides=ov_names,
+                                           record=bool(record))
                 _fleet_cache_put(key, solver)
             x0s = _fleet_x0s(spec, overrides, U0s)
             if ov_names:
@@ -177,7 +181,8 @@ def solve_batch(spec: Spec, overrides: Dict[str, jnp.ndarray], U0s, nb_iter: int
     kp_steps = ilqr.static_kp_steps(spec_b)
     f = jax.vmap(
         lambda s, U0: ilqr._solve_impl(s, U0, nb_iter, line_search, early_stop,
-                                       False, False, kp_steps),
+                                       False, False, kp_steps,
+                                       record=record),
         in_axes=(spec_axes, 0),
     )
     return f(spec_b, U0s)
@@ -274,6 +279,11 @@ def solve_batch_staged(spec: Spec, overrides, U0s, nb_iter: int,
     for tight distributions (e.g. the flagship's median 8 / max ~10)
     plain solve_batch is equally good.
     """
+    if kw.get("record"):
+        raise ValueError(
+            "record=True is not supported by the staged schedule (the two "
+            "stages' progress buffers have different lengths); use "
+            "solve_batch(record=True)")
     first_stage = min(int(first_stage), int(nb_iter))
     res1 = solve_batch(spec, overrides, U0s, first_stage, **kw)
     it = np.asarray(res1.iterations)

@@ -144,3 +144,34 @@ def test_pallas_backward_multi_tile_fori_path(panda64, monkeypatch):
     K2, d2 = fleet._backward(cc, X, U)          # G=2 fori path
     np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-12)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-12)
+
+
+def test_pallas_backward_ls16_tile_exact(panda64):
+    """The round-5 LS=16 tile shape ((16, 128) vector blocks — selected for
+    any B divisible by 2048) runs the identical recursion: one short-horizon
+    sweep at B=2048 against the XLA path."""
+    import jax.numpy as jnp
+
+    from ilqr_planner_tpu.ops.pallas_kernels import segment_backward as sb
+    from ilqr_planner_tpu.solvers import fleet
+    from ilqr_planner_tpu.systems.spec import make_spec
+
+    Hs = 8
+    kps = [PosOrnKeypoint(*T1, np.diag([1, 1, 1, .1, .1, .1]), Hs - 1)]
+    spec = make_spec("posorn", panda64, kps, np.ones(7) * 1e-5, Hs, 1,
+                     dt=0.1, q0=Q0, dtype=np.float64)
+    Bt = 2048
+    assert sb._pick_ls(Bt) == 16
+    cc = fleet._Consts(spec)
+    rng = np.random.default_rng(3)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(Bt, 7))
+    steps = np.concatenate([q0s[None],
+                            0.01 * rng.normal(size=(Hs - 1, Bt, 7))])
+    X = jnp.asarray(np.cumsum(steps, axis=0).transpose(0, 2, 1))
+    U = jnp.asarray(0.05 * rng.normal(size=(Hs - 1, 7, Bt)))
+    cc.backward_impl = "xla"
+    K1, d1 = fleet._backward(cc, X, U)
+    cc.backward_impl = "pallas_interpret"
+    K2, d2 = fleet._backward(cc, X, U)
+    assert float(jnp.abs(K1 - K2).max()) < 1e-10
+    assert float(jnp.abs(d1 - d2).max()) < 1e-10
