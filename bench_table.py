@@ -44,7 +44,7 @@ def _row_flagship(jnp):
     from ilqr_planner_tpu.parallel import solve_batch
 
     spec = _panda_spec(100, 49, 99, jnp.float32)
-    B = _B(9216)
+    B = _B(18432)  # round-5 sweep: 81.5k/s at 18432 vs 79.3k at 9216
     q0s = _q0s(B)
     ov = {"q0": jnp.asarray(q0s), "x0": jnp.asarray(q0s)}
     U0s = jnp.zeros((B, 99, 7), jnp.float32)

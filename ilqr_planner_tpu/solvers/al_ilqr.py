@@ -69,6 +69,10 @@ class ALILQRResult:
     multipliers: jnp.ndarray
     cost: jnp.ndarray
     iterations: jnp.ndarray
+    # Optional per-iteration record (solve(record=True)): device-side
+    # {"cost", "alpha"} buffers — the AL progress channel's information
+    # (AL-ILQR.cpp:215-219) without host callbacks (tunnel-safe).
+    progress: Optional[dict] = None
 
 
 def _active_set(cons: Constraints, lam, x, u, k):
@@ -157,11 +161,12 @@ def _backward(spec: Spec, cons: Constraints, lam, X, fX, U, As, Bs, Js, Is, Cs):
 
 @partial(jax.jit, static_argnames=("nb_iter", "lag_update_step", "line_search",
                                    "early_stop", "with_callback", "kp_steps",
-                                   "guard"))
+                                   "guard", "record"))
 def _solve_impl(spec: Spec, cons: Constraints, lam0, U0, nb_iter: int,
                 lag_update_step: int, penalty0, scaling_factor,
                 line_search: bool, early_stop: bool, with_callback: bool,
-                kp_steps=None, cb_id=None, guard: bool = False):
+                kp_steps=None, cb_id=None, guard: bool = False,
+                record: bool = False):
     with jax.default_matmul_precision("float32"):
         if not with_callback and kp_steps is not None:
             # Fast path (same restructuring as ilqr._solve_body_sparse):
@@ -172,7 +177,7 @@ def _solve_impl(spec: Spec, cons: Constraints, lam0, U0, nb_iter: int,
             return _solve_body_sparse(spec, cons, lam0, U0, nb_iter,
                                       lag_update_step, penalty0,
                                       scaling_factor, line_search, early_stop,
-                                      kp_steps, guard)
+                                      kp_steps, guard, record)
         return _solve_body(spec, cons, lam0, U0, nb_iter, lag_update_step,
                            penalty0, scaling_factor, line_search, early_stop,
                            with_callback, cb_id, guard)
@@ -327,7 +332,7 @@ def _backward_core_al(spec: Spec, As, Bs, l_x, l_u, l_xx, lN_x, lN_xx,
 
 def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
                        penalty0, scaling_factor, line_search, early_stop,
-                       kp_steps, guard=False):
+                       kp_steps, guard=False, record=False):
     """Control-flow- and FK-restructured AL-iLQR with identical numerics.
 
     The dynamics and constraints never touch FK, so line-search trials run
@@ -359,7 +364,7 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
         alphas = jnp.ones((1,), dtype)
 
     def iter_body(carry, _):
-        X, U, Is, Cs, cost0, lam, penalty, it, done = carry
+        X, U, Is, Cs, cost0, lam, penalty, it, done = carry[:9]
         if lti:
             As, Bs = (), ()
         else:
@@ -413,17 +418,25 @@ def _solve_body_sparse(spec, cons, lam0, U0, nb_iter, lag_update_step,
                done | (early_stop & (alpha * jnp.sqrt(du_acc) < 1e-3))
                | guard_frozen)
         old = (X, U, Is, Cs, cost0, lam, penalty, it, done)
+        if record:
+            pc, pa = carry[9], carry[10]
+            new = new + (pc.at[it].set(costn), pa.at[it].set(alpha))
+            old = old + (pc, pa)
         carry = jax.tree_util.tree_map(
             lambda o, n: jnp.where(done, o, n), old, new)
         return carry, None
 
     carry0 = (X, U, Is0, Cs0, cost0, lam0, penalty0,
               jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    if record:
+        nanf = jnp.full((nb_iter,), jnp.nan, dtype)
+        carry0 = carry0 + (nanf, nanf)
     carry, _ = jax.lax.scan(iter_body, carry0, None, length=nb_iter)
-    X, U, _, _, cost, lam, _, it, _ = carry
+    X, U, _, _, cost, lam, _, it, _ = carry[:9]
+    progress = ({"cost": carry[9], "alpha": carry[10]} if record else None)
     fX = jax.vmap(lambda x: funcs.fx_jac(spec, x)[0])(X)
     return ALILQRResult(X=X, fX=fX, U=U, multipliers=lam, cost=cost,
-                        iterations=it)
+                        iterations=it, progress=progress)
 
 
 # Shared callback registry (see solvers.ilqr): callbacks flow through the
@@ -445,6 +458,7 @@ def solve(
     early_stop: bool = True,
     callback: Optional[object] = None,
     guard: bool = False,
+    record: bool = False,
 ) -> ALILQRResult:
     """AL_ILQR::solve(U0, nb_iter, lag_update_step, penalty, scaling_factor,
     line_search, early_stop, cb) (AL-ILQR.h:35-55).
@@ -461,12 +475,14 @@ def solve(
     lam0 = jnp.asarray(init_lambda)
     if lam0.ndim == 1:
         lam0 = jnp.broadcast_to(lam0, (spec.horizon - 1,) + lam0.shape)
+    if record and callback is not None:
+        raise ValueError("record=True and callback are mutually exclusive")
     if callback is None:
         return _solve_impl(spec, constraints, lam0, U0, int(nb_iter),
                            int(lag_update_step), float(penalty),
                            float(scaling_factor), bool(line_search),
                            bool(early_stop), False, static_kp_steps(spec),
-                           guard=bool(guard))
+                           guard=bool(guard), record=bool(record))
     cb_id = _register_cb(callback)
     try:
         res = _solve_impl(spec, constraints, lam0, U0, int(nb_iter),

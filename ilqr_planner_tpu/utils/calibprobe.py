@@ -27,7 +27,7 @@ __all__ = ["calibration_probe", "CALIB_NOMINAL_S"]
 
 # Probe wall time measured on the round-5 bench run's chip (v5e via the
 # tunnel); recorded here once so later rounds can normalize against it.
-CALIB_NOMINAL_S = 0.0504  # measured 2026-08-21, BENCH_r05 run conditions
+CALIB_NOMINAL_S = 0.0308  # measured 2026-08-21, the round-5 bench.py artifact run
 
 _STEPS = 400
 _SHAPE = (8, 65536)

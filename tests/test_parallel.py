@@ -411,3 +411,20 @@ def test_al_guard_mirrors_ilqr_guard(spec, al_setup):
     if int(res.iterations) < 10:  # guard actually fired (floored out)
         np.testing.assert_array_equal(np.asarray(res.U), np.asarray(base.U))
         assert not np.array_equal(np.asarray(refz.U), np.asarray(base.U))
+
+
+def test_al_record_progress_matches_iterations(spec, al_setup):
+    """al_ilqr.solve(record=True): per-iteration (cost, alpha) buffer with
+    NaN beyond the executed iterations; final entry equals the final cost."""
+    from ilqr_planner_tpu.solvers import al_ilqr
+
+    cons, b = al_setup
+    U0 = np.zeros((99, 7))
+    res = al_ilqr.solve(spec, cons, b, U0, 25, 5, 0.25, 1.1, record=True)
+    n_it = int(res.iterations)
+    pc = np.asarray(res.progress["cost"])
+    pa = np.asarray(res.progress["alpha"])
+    assert pc.shape == (25,) and pa.shape == (25,)
+    assert np.all(np.isfinite(pc[:n_it])) and np.all(np.isnan(pc[n_it:]))
+    np.testing.assert_allclose(pc[n_it - 1], float(res.cost), rtol=1e-12)
+    assert np.all((pa[:n_it] >= 2.0 ** -10) & (pa[:n_it] <= 1.0))
