@@ -61,3 +61,13 @@ if jax.device_count() > 1:
     res = solve_batch_sharded(spec, overrides, U0s, 10, mesh=mesh)
     print(f"sharded over {jax.device_count()} devices: "
           f"median {np.median(np.asarray(res.cost)):.2e}")
+
+# Tunnel-safe per-iteration progress (round 5): host callbacks hang over
+# remote-device transports, so record=True returns the callback channel's
+# information — per-lane (cost, alpha) per executed iteration — as device
+# buffers with the result.
+res = solve_batch(spec, overrides, U0s, 10, record=True)
+pc = np.asarray(res.progress["cost"])          # [B, nb_iter], NaN past stop
+it0 = int(res.iterations[0])
+print(f"lane 0 converged in {it0} iterations; per-iteration costs "
+      f"{np.array2string(pc[0, :it0], precision=2)}")

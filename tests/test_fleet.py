@@ -661,3 +661,38 @@ def test_planar_with_frame_raises_early():
     rob = Robot.from_planar(PlanarRobot(lengths=np.array([1.0, 0.8])))
     with pytest.raises(ValueError, match="3-D"):
         rob.with_frame(np.eye(4))
+
+
+def test_affine_vs_scan_line_search_equivalent(panda_robot_f64):
+    """ls='affine' (one base+direction scan, scan-free trials) vs ls='scan'
+    (sequential re-rollouts): identical decisions, f64 agreement to
+    reduction-order noise on a full converged solve (round-5
+    _run_trials_affine)."""
+    spec = _posorn_spec(panda_robot_f64, dtype=np.float64)
+    rng = np.random.default_rng(9)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(3, 7))
+    U0s = np.zeros((3, H - 1, 7))
+    aff = make_fleet_solver(spec, 10, ls="affine")(q0s, U0s)
+    scn = make_fleet_solver(spec, 10, ls="scan")(q0s, U0s)
+    np.testing.assert_array_equal(np.asarray(aff.iterations),
+                                  np.asarray(scn.iterations))
+    np.testing.assert_array_equal(np.asarray(aff.alpha), np.asarray(scn.alpha))
+    np.testing.assert_allclose(np.asarray(aff.cost), np.asarray(scn.cost),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(aff.U), np.asarray(scn.U),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(aff.X), np.asarray(scn.X),
+                               atol=1e-9)
+
+
+def test_affine_forced_on_time_optimal_raises(panda_robot):
+    """ls='affine' requires LTI dynamics; forcing it on a sqrt-dt
+    time-optimal spec is a hard error (B depends on u there)."""
+    from ilqr_planner_tpu.systems.keypoints import SpacetimeKeypoint
+
+    kps = [SpacetimeKeypoint(T1_POS, T1_ORN, np.diag([1, 1, 1, .1, .1, .1, 0]),
+                             H - 1, 5.0)]
+    spec = make_spec("posorn_time", panda_robot, kps, np.ones(8) * 1e-5, H, 1,
+                     dt=None, q0=Q0, dtype=np.float32)
+    with pytest.raises(ValueError, match="affine"):
+        make_fleet_solver(spec, 5, ls="affine")
