@@ -1199,11 +1199,13 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
 
     Limit-penalty quadratics stream as per-step DIAGONALS (they are diagonal,
     System.cpp:286-308); the dense J^T P J keypoint Hessians enter only at
-    the static keypoint steps, which split the sweep into scan segments with
-    an unrolled keypoint step between — no [H,n,n,B] Hessian array ever
-    exists. With `al` set, the constraint terms of AL-ILQR.cpp:129-134 are
-    added at every step: al = dict(cx, cu (consts when uniform, else
-    [H-1,nc,*] arrays), Is, g, lam [H-1,nc,B], uniform).
+    the static keypoint steps, gathered per step from a tiny
+    [n_kp+1, n, n, B] slot table (last slot zero) inside ONE uniform
+    reverse scan — no [H,n,n,B] Hessian array ever exists, and the scan
+    body compiles once instead of once per inter-keypoint segment. With
+    `al` set, the constraint terms of AL-ILQR.cpp:129-134 are added at
+    every step: al = dict(cx, cu (consts when uniform, else [H-1,nc,*]
+    arrays), Is, g, lam [H-1,nc,B], uniform).
     """
     n, m, H = cc.n, cc.m, cc.H
     B = X.shape[-1]
@@ -1266,17 +1268,6 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
                 P_arr, p_arr, L2[:H - 1], lx_arr, U, gxx_arr,
                 tuple(inner_kps), cc.dt, cc.Rt, interpret=interp)
 
-    def al_slice(k):
-        """(cx, cu, Ik, g, lam) nested/lane lists at one unrolled step."""
-        if al is None:
-            return None
-        cx = al["cx"] if al["uniform"] else [
-            [al["cx"][k, c, j] for j in range(n)] for c in range(al["nc"])]
-        cu = al["cu"] if al["uniform"] else [
-            [al["cu"][k, c, j] for j in range(m)] for c in range(al["nc"])]
-        return (cx, cu, _rows(al["Is"][k]), _rows(al["g"][k]),
-                _rows(al["lam"][k]))
-
     # the time-optimal 2nd-order B needs the state velocity lanes at each
     # step (PosOrnTimePlannerSys.cpp:165-176)
     need_dq = cc.time and cc.nb_deriv == 2
@@ -1293,12 +1284,49 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
             Quu, Qux, Qu, Qxx, Qx = _al_terms(Quu, Qux, Qu, Qxx, Qx, *al_t)
         return _gains_value(Quu, Qux, Qu, Qxx, Qx)
 
-    def seg_step(carry, inp):
+    # --- XLA path (round 5): ONE uniform reverse scan over all H-1 steps.
+    # The dense keypoint Hessians live in a small [n_kp+1, n, n, B] constant
+    # whose LAST slot is zero; each step gathers its slot (non-keypoint
+    # steps gather the zero slot, and x + 0.0 is IEEE-exact, so the values
+    # are identical to the former per-segment walk). One scan body compiles
+    # ONCE, replacing one compiled body per inter-keypoint segment plus an
+    # unrolled trace chunk per keypoint step — the dominant XLA-compile cost
+    # on the multi-keypoint 2nd-order/AL workloads (posorn2nd cold compile
+    # measured 32.4 s -> see docs/round5_notes.md item 3). The keypoint
+    # stage GRADIENTS fold into lx_all rows outside the scan (a - b and
+    # a + (-b) are the same IEEE operation).
+    inner_kps = sorted(k for k in cc.kp_at if k < H - 1)
+    like = X[0, 0]
+    lx_arr = lx_all[:H - 1]
+    gxx_const = None
+    if inner_kps:
+        gxx_rows, gx_rows = [], []
+        for k in inner_kps:
+            _, gx_k, gxx_k = _kp_terms_at(cc, k, _rows(X[k]), True, ov)
+            gxx_rows.append(_to_arr(
+                [[_full(v, like) for v in row] for row in gxx_k]))
+            gx_rows.append(jnp.stack(
+                [_full(gx_k[i], like) for i in range(n)]))
+        idx = jnp.asarray(inner_kps)
+        lx_arr = lx_arr.at[idx].add(-jnp.stack(gx_rows))
+        gxx_const = jnp.concatenate(
+            [jnp.stack(gxx_rows), jnp.zeros((1, n, n, B), dtype)], axis=0)
+        slots = np.full(H - 1, len(inner_kps), np.int32)
+        for i, k in enumerate(inner_kps):
+            slots[k] = i
+        slot_arr = jnp.asarray(slots)
+
+    def step(carry, inp):
         P_c, p_c = carry
         dq_t = None
         if need_dq:
             inp, dqa = inp[:-1], inp[-1]
             dq_t = _rows(dqa)
+        gxx_t = None
+        if gxx_const is not None:
+            inp, slot = inp[:-1], inp[-1]
+            gxx_t = _mat(jax.lax.dynamic_index_in_dim(
+                gxx_const, slot, keepdims=False))
         if al is None:
             l2_t, lx_t, u_t = inp
             al_t = None
@@ -1313,53 +1341,24 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
                 cu_t = [[cua[c, j] for j in range(m)] for c in range(al["nc"])]
             al_t = (cx_t, cu_t, _rows(Is_t), _rows(g_t), _rows(lam_t))
         P1, p1, K, d = full_step(_mat(P_c), _rows(p_c), _rows(l2_t),
-                                 _rows(lx_t), _rows(u_t), al_t=al_t,
-                                 dq_t=dq_t)
+                                 _rows(lx_t), _rows(u_t), gxx=gxx_t,
+                                 al_t=al_t, dq_t=dq_t)
         return (_to_arr(P1), jnp.stack(p1)), (_to_arr(K), jnp.stack(d))
 
-    def run_segment(P, p, hi, lo):
-        """Scan steps t = hi-1 .. lo (reverse) with diagonal-only Hessians."""
-        if hi <= lo:
-            return P, p, None, None
-        carry = (_to_arr([[_full(v, X[0, 0]) for v in row] for row in P]),
-                 jnp.stack([_full(v, X[0, 0]) for v in p]))
-        inputs = (L2[lo:hi], lx_all[lo:hi], U[lo:hi])
-        if al is not None:
-            extra = (al["Is"][lo:hi], al["g"][lo:hi], al["lam"][lo:hi])
-            if not al["uniform"]:
-                extra = (al["cx"][lo:hi], al["cu"][lo:hi]) + extra
-            inputs = inputs + (extra,)
-        if need_dq:
-            inputs = inputs + (X[lo:hi, cc.dof:2 * cc.dof],)
-        (P_a, p_a), (Ks_seg, ds_seg) = jax.lax.scan(
-            seg_step, carry, inputs, reverse=True, unroll=cc.unroll)
-        return _mat(P_a), _rows(p_a), Ks_seg, ds_seg
-
-    Ks_parts, ds_parts = [], []
-    t = H - 2
-    # walk down through keypoint steps < H-1 (descending)
-    inner_kps = sorted((k for k in cc.kp_at if k < H - 1), reverse=True)
-    for k in inner_kps:
-        P, p, Ks_seg, ds_seg = run_segment(P, p, t + 1, k + 1)
-        if Ks_seg is not None:
-            Ks_parts.append(Ks_seg)
-            ds_parts.append(ds_seg)
-        # unrolled keypoint step at t = k with the dense Hessian term
-        _, gx, gxx = _kp_terms_at(cc, k, _rows(X[k]), True, ov)
-        lx_k = [lx_all[k, i] - _full(gx[i], lx_all[k, i]) for i in range(n)]
-        dq_k = _rows(X[k, cc.dof:2 * cc.dof]) if need_dq else None
-        P, p, K, d = full_step(P, p, _rows(L2[k]), lx_k, _rows(U[k]),
-                               gxx=gxx, al_t=al_slice(k), dq_t=dq_k)
-        Ks_parts.append(_to_arr([[_full(v, X[0, 0]) for v in row]
-                                 for row in K])[None])
-        ds_parts.append(jnp.stack([_full(v, X[0, 0]) for v in d])[None])
-        t = k - 1
-    P, p, Ks_seg, ds_seg = run_segment(P, p, t + 1, 0)
-    if Ks_seg is not None:
-        Ks_parts.append(Ks_seg)
-        ds_parts.append(ds_seg)
-    Ks = jnp.concatenate(Ks_parts[::-1], axis=0)
-    ds = jnp.concatenate(ds_parts[::-1], axis=0)
+    carry = (_to_arr([[_full(v, like) for v in row] for row in P]),
+             jnp.stack([_full(v, like) for v in p]))
+    inputs = (L2[:H - 1], lx_arr, U)
+    if al is not None:
+        extra = (al["Is"], al["g"], al["lam"])
+        if not al["uniform"]:
+            extra = (al["cx"], al["cu"]) + extra
+        inputs = inputs + (extra,)
+    if gxx_const is not None:
+        inputs = inputs + (slot_arr,)
+    if need_dq:
+        inputs = inputs + (X[:H - 1, cc.dof:2 * cc.dof],)
+    (_, _), (Ks, ds) = jax.lax.scan(step, carry, inputs, reverse=True,
+                                    unroll=cc.unroll)
     return Ks, ds
 
 
