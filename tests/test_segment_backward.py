@@ -73,6 +73,11 @@ def test_pallas_backward_single_sweep_exact(panda64):
     assert float(jnp.abs(d1 - d2).max()) < 1e-10
 
 
+def _forced_cfg(monkeypatch, cfg):
+    from ilqr_planner_tpu.ops.pallas_kernels import segment_backward as sb
+    monkeypatch.setattr(sb, "_pick_nt_ls", lambda B: cfg)
+
+
 def test_pallas_backward_matches_xla_flagship(panda64):
     spec = _spec_posorn(panda64)
     q0s, U0s = _batch(B)
@@ -123,8 +128,9 @@ def test_pallas_backward_multi_inner_keypoints(panda64):
 
 def test_pallas_backward_multi_tile_fori_path(panda64, monkeypatch):
     """The G>1 lane-tile fori_loop path (minor-axis dynamic slices) must
-    match the single-tile path exactly. B=256 with _pick_ls forced to 1
-    gives two 128-lane tiles without interpret-mode cost."""
+    match the single-group path exactly. B=256 with the (NT, LS) config
+    forced to (1, 1) gives two 128-lane groups without interpret-mode
+    cost."""
     import jax.numpy as jnp
 
     from ilqr_planner_tpu.ops.pallas_kernels import segment_backward as sb
@@ -139,17 +145,18 @@ def test_pallas_backward_multi_tile_fori_path(panda64, monkeypatch):
     X = jnp.asarray(np.cumsum(steps, axis=0).transpose(0, 2, 1))
     U = jnp.asarray(0.05 * rng.normal(size=(H - 1, 7, B2)))
     cc.backward_impl = "pallas_interpret"
-    K1, d1 = fleet._backward(cc, X, U)          # G=1 (LS=2)
-    monkeypatch.setattr(sb, "_pick_ls", lambda B: 1)
+    K1, d1 = fleet._backward(cc, X, U)          # G=1 (NT=2, LS=1)
+    monkeypatch.setattr(sb, "_pick_nt_ls", lambda B: (1, 1))
     K2, d2 = fleet._backward(cc, X, U)          # G=2 fori path
     np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-12)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-12)
 
 
 def test_pallas_backward_ls16_tile_exact(panda64):
-    """The round-5 LS=16 tile shape ((16, 128) vector blocks — selected for
-    any B divisible by 2048) runs the identical recursion: one short-horizon
-    sweep at B=2048 against the XLA path."""
+    """The round-5 tile configs — (16, 128) blocks and the NT=2
+    tile-interleaved kernel body — run the identical recursion: one
+    short-horizon sweep at B=2048 (picked config NT=2, LS=8) against the
+    XLA path, and a forced (1, 16) single-tile config."""
     import jax.numpy as jnp
 
     from ilqr_planner_tpu.ops.pallas_kernels import segment_backward as sb
@@ -161,7 +168,7 @@ def test_pallas_backward_ls16_tile_exact(panda64):
     spec = make_spec("posorn", panda64, kps, np.ones(7) * 1e-5, Hs, 1,
                      dt=0.1, q0=Q0, dtype=np.float64)
     Bt = 2048
-    assert sb._pick_ls(Bt) == 16
+    assert sb._pick_nt_ls(Bt) == (2, 8)
     cc = fleet._Consts(spec)
     rng = np.random.default_rng(3)
     q0s = Q0[None] + 0.05 * rng.normal(size=(Bt, 7))
@@ -175,3 +182,31 @@ def test_pallas_backward_ls16_tile_exact(panda64):
     K2, d2 = fleet._backward(cc, X, U)
     assert float(jnp.abs(K1 - K2).max()) < 1e-10
     assert float(jnp.abs(d1 - d2).max()) < 1e-10
+
+
+def test_pallas_backward_forced_ls16_single_tile(panda64, monkeypatch):
+    """Forced (NT=1, LS=16) config at B=2048: same values as the picked
+    (NT=2, LS=8) config — the NT interleave is layout, not math."""
+    import jax.numpy as jnp
+
+    from ilqr_planner_tpu.solvers import fleet
+    from ilqr_planner_tpu.systems.spec import make_spec
+
+    Hs = 6
+    kps = [PosOrnKeypoint(*T1, np.diag([1, 1, 1, .1, .1, .1]), Hs - 1)]
+    spec = make_spec("posorn", panda64, kps, np.ones(7) * 1e-5, Hs, 1,
+                     dt=0.1, q0=Q0, dtype=np.float64)
+    Bt = 2048
+    cc = fleet._Consts(spec)
+    rng = np.random.default_rng(4)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(Bt, 7))
+    steps = np.concatenate([q0s[None],
+                            0.01 * rng.normal(size=(Hs - 1, Bt, 7))])
+    X = jnp.asarray(np.cumsum(steps, axis=0).transpose(0, 2, 1))
+    U = jnp.asarray(0.05 * rng.normal(size=(Hs - 1, 7, Bt)))
+    cc.backward_impl = "pallas_interpret"
+    K1, d1 = fleet._backward(cc, X, U)          # picked (2, 8)
+    _forced_cfg(monkeypatch, (1, 16))
+    K2, d2 = fleet._backward(cc, X, U)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-12)
