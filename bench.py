@@ -29,11 +29,12 @@ import numpy as np
 
 REFERENCE_SOLVES_PER_S = 1.0 / 0.0192  # 19.2 ms/solve, 1 CPU core
 
-# Round-5 sweep (affine line search): B=9216 -> 79.3k solves/s, B=18432 ->
-# 81.5k (larger batches keep amortizing per-step overhead). Both programs
-# are in the persistent compile cache. Override with BENCH_BATCHES=a,b.
+# Round-5 sweep (affine line search + NT kernel): B=9216 -> 79.3k solves/s,
+# B=18432 -> 81.5k, B=36864 ~= 18432 (throughput saturates; all programs
+# are in the persistent compile cache). Override with BENCH_BATCHES=a,b.
 BATCH_CANDIDATES = tuple(
-    int(b) for b in os.environ.get("BENCH_BATCHES", "18432,9216").split(","))
+    int(b) for b in os.environ.get("BENCH_BATCHES",
+                                   "36864,18432,9216").split(","))
 NB_ITER = 10
 REPEATS = 5
 
