@@ -1230,15 +1230,44 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
     # keypoint steps (ops/pallas_kernels/segment_backward.py). ---
     mode = getattr(cc, "backward_impl", "auto")
     pallas_scope = al is None and cc.nb_deriv == 1 and not cc.time and m == n
-    if mode in ("pallas", "pallas_interpret") and not pallas_scope:
+    pallas2_scope = (al is None and cc.nb_deriv == 2 and not cc.time
+                     and n == 2 * m)
+    if mode in ("pallas", "pallas_interpret") and not (pallas_scope
+                                                       or pallas2_scope):
         # Loud failure, matching segment_backward_pallas's behavior on an
         # untileable B: silently running the XLA scan here would let bench
         # configs report XLA numbers as Pallas.
         raise ValueError(
             f"backward={mode!r} requested but the workload is outside the "
-            f"Pallas sweep's scope (needs first-order LTI, m == n, no AL "
-            f"terms; got nb_deriv={cc.nb_deriv}, time={cc.time}, "
-            f"m={m}, n={n}, al={'set' if al is not None else 'None'})")
+            f"Pallas sweeps' scope (needs LTI — first-order m == n or "
+            f"2nd-order n == 2m — and no AL terms; got "
+            f"nb_deriv={cc.nb_deriv}, time={cc.time}, m={m}, n={n}, "
+            f"al={'set' if al is not None else 'None'})")
+
+    def pallas_prep():
+        """(P_arr, p_arr, lx_arr, gxx_arr, inner_kps) shared by both
+        whole-sweep kernels: terminal carry as arrays, keypoint stage
+        gradients folded into lx rows, dense Hessians stacked per slot."""
+        like = X[0, 0]
+        inner_kps = sorted(k for k in cc.kp_at if k < H - 1)
+        lx_arr = lx_all[:H - 1]
+        if inner_kps:
+            gxx_rows, gx_rows = [], []
+            for k in inner_kps:
+                _, gx_k, gxx_k = _kp_terms_at(cc, k, _rows(X[k]), True, ov)
+                gxx_rows.append(_to_arr(
+                    [[_full(v, like) for v in row] for row in gxx_k]))
+                gx_rows.append(jnp.stack(
+                    [_full(gx_k[i], like) for i in range(n)]))
+            idx = jnp.asarray(inner_kps)
+            lx_arr = lx_arr.at[idx].add(-jnp.stack(gx_rows))
+            gxx_arr = jnp.stack(gxx_rows)
+        else:
+            gxx_arr = jnp.zeros((0, n, n, B), dtype)
+        P_arr = _to_arr([[_full(v, like) for v in row] for row in P])
+        p_arr = jnp.stack([_full(v, like) for v in p])
+        return P_arr, p_arr, lx_arr, gxx_arr, tuple(inner_kps)
+
     if mode != "xla" and pallas_scope:
         from ilqr_planner_tpu.ops.pallas_kernels.segment_backward import (
             pallas_backward_supported, segment_backward_pallas)
@@ -1246,27 +1275,23 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
         interp = (mode == "pallas_interpret")
         if (mode in ("pallas", "pallas_interpret")
                 or pallas_backward_supported(B, n, m, 1, False, False, dtype)):
-            like = X[0, 0]
-            inner_kps = sorted(k for k in cc.kp_at if k < H - 1)
-            lx_arr = lx_all[:H - 1]
-            if inner_kps:
-                gxx_rows, gx_rows = [], []
-                for k in inner_kps:
-                    _, gx_k, gxx_k = _kp_terms_at(cc, k, _rows(X[k]), True, ov)
-                    gxx_rows.append(_to_arr(
-                        [[_full(v, like) for v in row] for row in gxx_k]))
-                    gx_rows.append(jnp.stack(
-                        [_full(gx_k[i], like) for i in range(n)]))
-                idx = jnp.asarray(inner_kps)
-                lx_arr = lx_arr.at[idx].add(-jnp.stack(gx_rows))
-                gxx_arr = jnp.stack(gxx_rows)
-            else:
-                gxx_arr = jnp.zeros((0, n, n, B), dtype)
-            P_arr = _to_arr([[_full(v, like) for v in row] for row in P])
-            p_arr = jnp.stack([_full(v, like) for v in p])
+            P_arr, p_arr, lx_arr, gxx_arr, inner_kps = pallas_prep()
             return segment_backward_pallas(
                 P_arr, p_arr, L2[:H - 1], lx_arr, U, gxx_arr,
-                tuple(inner_kps), cc.dt, cc.Rt, interpret=interp)
+                inner_kps, cc.dt, cc.Rt, interpret=interp)
+
+    if mode != "xla" and pallas2_scope:
+        from ilqr_planner_tpu.ops.pallas_kernels import segment_backward_2nd
+
+        interp = (mode == "pallas_interpret")
+        if (mode in ("pallas", "pallas_interpret")
+                or (segment_backward_2nd.PALLAS2_AUTO
+                    and segment_backward_2nd.pallas2_backward_supported(
+                        B, n, m, 2, False, False, dtype))):
+            P_arr, p_arr, lx_arr, gxx_arr, inner_kps = pallas_prep()
+            return segment_backward_2nd.segment_backward_pallas_2nd(
+                P_arr, p_arr, L2[:H - 1], lx_arr, U, gxx_arr,
+                inner_kps, cc.dt, cc.Rt, interpret=interp)
 
     # the time-optimal 2nd-order B needs the state velocity lanes at each
     # step (PosOrnTimePlannerSys.cpp:165-176)

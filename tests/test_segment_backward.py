@@ -210,3 +210,43 @@ def test_pallas_backward_forced_ls16_single_tile(panda64, monkeypatch):
     K2, d2 = fleet._backward(cc, X, U)
     np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), atol=1e-12)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-12)
+
+
+def test_pallas_backward_2nd_order_interpret_exact(panda64):
+    """The round-5 2nd-order whole-sweep kernel reuses the fleet's own
+    _q_terms/_gains_value list algebra inside the kernel body, so kernel
+    and XLA path run identical math; interpret-mode f64 parity on a
+    short double-integrator sweep with an inner keypoint."""
+    import jax.numpy as jnp
+
+    from ilqr_planner_tpu.solvers import fleet
+    from ilqr_planner_tpu.systems.spec import make_spec
+
+    Hs = 10
+    qd = np.diag([1, 1, 1, .1, .1, .1, 1, 1, 1, 0, 0, 0])
+    kps = [PosOrnKeypoint(*T1, qd, Hs // 2,
+                          dposition=[0, 0, 0], dorientation=[0, 0, 0, 0]),
+           PosOrnKeypoint(*T2, qd, Hs - 1,
+                          dposition=[0, 0, 0], dorientation=[0, 0, 0, 0])]
+    qmax = np.ones(7) * np.pi * 10
+    spec = make_spec("posorn", panda64, kps, np.ones(7) * 1e-5, Hs, 2,
+                     dt=0.01, q0=Q0, q_max=qmax, q_min=-qmax,
+                     dq_max=np.ones(7) * 10, dq_min=-np.ones(7) * 10,
+                     dtype=np.float64)
+    Bt = 128
+    cc = fleet._Consts(spec)
+    n = cc.n
+    rng = np.random.default_rng(5)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(Bt, 7))
+    x0 = np.concatenate([q0s, 0.1 * rng.normal(size=(Bt, 7))], axis=-1)
+    steps = np.concatenate([x0[None],
+                            0.01 * rng.normal(size=(Hs - 1, Bt, n))])
+    X = jnp.asarray(np.cumsum(steps, axis=0).transpose(0, 2, 1))
+    U = jnp.asarray(0.05 * rng.normal(size=(Hs - 1, 7, Bt)))
+    cc.backward_impl = "xla"
+    K1, d1 = fleet._backward(cc, X, U)
+    cc.backward_impl = "pallas_interpret"
+    K2, d2 = fleet._backward(cc, X, U)
+    assert K2.shape == (Hs - 1, 7, n, Bt)
+    assert float(jnp.abs(K1 - K2).max()) < 1e-10
+    assert float(jnp.abs(d1 - d2).max()) < 1e-10
