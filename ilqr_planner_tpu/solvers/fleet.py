@@ -1213,6 +1213,29 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
     Lq, L2 = _limit_arrays(cc, X)  # [H, n, B]
     lx_all = -Lq
 
+    if al is not None and al.get("fold"):
+        # Diagonal-AL fold (round 5): when every constraint row touches at
+        # most ONE state coordinate and no controls (axis-aligned state
+        # bounds — the reference tutorial's case, AL-ILQR.h:19-22 with
+        # A = e_j rows), the AL backward terms (AL-ILQR.cpp:129-134) are
+        # EXACTLY a diagonal stage update:
+        #   Qxx += cx' Ik cx   = diag(sum_c Ik_c coef_c^2 at column j_c)
+        #   Qx  += cx'(lam + Ik g)          (one column per constraint)
+        #   Quu/Qux/Qu unchanged            (cu = 0)
+        # so they fold into the streamed L2/lx arrays and the sweep runs
+        # the UNCONSTRAINED backward — un-gating the collapsed LTI
+        # recursion and the Pallas whole-sweep kernels for AL problems.
+        Is_a, g_a, lam_a = al["Is"], al["g"], al["lam"]  # [H-1, nc, B]
+        lig = lam_a + Is_a * g_a
+        add2 = jnp.zeros((H - 1, n, B), dtype)
+        addx = jnp.zeros((H - 1, n, B), dtype)
+        for c, j, coef in al["fold"]:
+            add2 = add2.at[:, j].add((coef * coef) * Is_a[:, c])
+            addx = addx.at[:, j].add(coef * lig[:, c])
+        L2 = L2.at[: H - 1].add(add2)
+        lx_all = lx_all.at[: H - 1].add(addx)
+        al = None
+
     # terminal value (cost at H-1 with u = 0, System.cpp:236-246)
     xN = _rows(X[H - 1])
     P = [[jnp.broadcast_to(jnp.asarray(0.0, dtype), (B,))
@@ -1745,7 +1768,7 @@ def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
                          lag_update_step: int, penalty: float,
                          scaling_factor: float, line_search: bool = True,
                          early_stop: bool = True, unroll: int = 1,
-                         ls: str = "auto"):
+                         ls: str = "auto", backward: str = "auto"):
     """Lane-major AL-iLQR fleet: (x0s [B,n], U0s [B,H-1,nu], lam0
     [nc] | [H-1,nc] | [B,H-1,nc]) -> ALILQRResult with a leading scenario
     axis. Reproduces al_ilqr._solve_body_sparse per lane: plain-cost line
@@ -1753,17 +1776,35 @@ def make_fleet_solver_al(spec: Spec, constraints: Constraints, nb_iter: int,
     with the pre-update lam/penalty, dual update every lag_update_step
     iterations (cpp:202-208), early stop alpha*sqrt(sum||du||) < 1e-3
     (cpp:225) — per-lane masked so converged scenarios freeze."""
+    if backward not in ("auto", "xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"backward must be auto/xla/pallas/pallas_interpret,"
+                         f" got {backward!r}")
     cc = _Consts(spec)
     cc.unroll = int(unroll)
+    cc.backward_impl = backward
     use_affine = _pick_ls_mode(cc, ls)
     n, m, H = cc.n, cc.m, cc.H
     A = np.asarray(constraints.A, cc.np_dtype)   # [H-1, nc, n+m]
     bv = np.asarray(constraints.b, cc.np_dtype)  # [H-1, nc]
     nc = A.shape[1]
     uniform = bool(np.all(A == A[0]) and np.all(bv == bv[0]))
+    # Diagonal-AL fold plan (see _backward): uniform constraints whose rows
+    # touch no controls and at most one state coordinate each fold exactly
+    # into the streamed stage arrays. Rows that are entirely zero are inert
+    # (cx = cu = 0 contributes nothing, matching the reference's padding).
+    fold = None
+    if uniform and np.all(A[0, :, n:] == 0) \
+            and np.all(np.count_nonzero(A[0, :, :n], axis=1) <= 1):
+        fold = []
+        for c in range(nc):
+            nz = np.nonzero(A[0, c, :n])[0]
+            if nz.size == 1:
+                fold.append((c, int(nz[0]), float(A[0, c, nz[0]])))
+        fold = fold or None
     al_static = {
         "nc": nc,
         "uniform": uniform,
+        "fold": fold,
         "cx": ([[float(v) for v in A[0, c, :n]] for c in range(nc)]
                if uniform else jnp.asarray(A[:, :, :n])),
         "cu": ([[float(v) for v in A[0, c, n:]] for c in range(nc)]

@@ -695,3 +695,72 @@ def test_affine_forced_on_time_optimal_raises(panda_robot):
                      dt=None, q0=Q0, dtype=np.float32)
     with pytest.raises(ValueError, match="affine"):
         make_fleet_solver(spec, 5, ls="affine")
+
+
+def test_fleet_al_diag_fold_kernel_and_nonfoldable(panda_robot_f64):
+    """Round-5 diagonal-AL fold: axis-aligned state-bound constraints fold
+    exactly into the streamed stage arrays, un-gating the collapsed LTI
+    recursion AND the Pallas whole-sweep kernel for AL problems. Checks:
+    (a) the folded path through the Pallas kernel (interpret) matches the
+    XLA path; (b) a NON-foldable constraint (two coupled state coords)
+    keeps the generic AL backward and still matches the vmap oracle."""
+    from ilqr_planner_tpu.parallel import solve_batch_al
+    from ilqr_planner_tpu.solvers.al_ilqr import Constraints
+    from ilqr_planner_tpu.solvers.fleet import make_fleet_solver_al
+
+    H_ = 40
+    spec = _posorn_spec_h(panda_robot_f64, H_)
+    rng = np.random.default_rng(6)
+
+    # (a) foldable: single-coordinate bound -> kernel path == XLA path
+    # (kernel lane groups need B % 128 == 0)
+    Bk = 128
+    q0k = Q0[None] + 0.05 * rng.normal(size=(Bk, 7))
+    U0k = np.zeros((Bk, H_ - 1, 7))
+    A1 = np.zeros((1, 14))
+    A1[0, 5] = 1.0
+    cons1 = Constraints.uniform(A1, np.array([1.5]), H_)
+    xla = make_fleet_solver_al(spec, cons1, 6, 5, 0.25, 1.1,
+                               early_stop=False, backward="xla")(
+        q0k, U0k, np.zeros(1))
+    pal = make_fleet_solver_al(spec, cons1, 6, 5, 0.25, 1.1,
+                               early_stop=False,
+                               backward="pallas_interpret")(
+        q0k, U0k, np.zeros(1))
+    # the kernel solves M via Cholesky, the XLA path via Gauss-Jordan —
+    # ulp-level differences amplified through 6 iterations with active-set
+    # boundaries (single-sweep parity is 1e-10, test_segment_backward)
+    np.testing.assert_allclose(np.asarray(pal.cost), np.asarray(xla.cost),
+                               rtol=1e-5, atol=1e-12)
+    # with 128 lanes a few sit on line-search/active-set decision
+    # boundaries where ulp differences legitimately flip the branch (same
+    # tie-breaking caveat as test_fleet_matches_vmapped_posorn_converged);
+    # require near-total elementwise agreement instead of a global atol
+    du = np.abs(np.asarray(pal.U) - np.asarray(xla.U))
+    assert float(np.mean(du < 1e-6)) > 0.995, float(np.mean(du < 1e-6))
+    dm = np.abs(np.asarray(pal.multipliers) - np.asarray(xla.multipliers))
+    assert float(np.mean(dm < 1e-7)) > 0.995, float(np.mean(dm < 1e-7))
+
+    # (b) non-foldable: coupled-coordinate constraint x4 + x5 <= b keeps
+    # the generic AL backward; fleet still matches the vmap oracle, and
+    # forcing the kernel on it raises (outside scope)
+    B = 2
+    q0s = Q0[None] + 0.05 * rng.normal(size=(B, 7))
+    U0s = np.zeros((B, H_ - 1, 7))
+    A2 = np.zeros((1, 14))
+    A2[0, 4] = 1.0
+    A2[0, 5] = 1.0
+    cons2 = Constraints.uniform(A2, np.array([2.0]), H_)
+    ref = solve_batch_al(spec, cons2, np.zeros(1), {"q0": q0s, "x0": q0s},
+                         U0s, nb_iter=6, lag_update_step=5, penalty=0.25,
+                         scaling_factor=1.1, early_stop=False)
+    fleet = make_fleet_solver_al(spec, cons2, 6, 5, 0.25, 1.1,
+                                 early_stop=False)(q0s, U0s, np.zeros(1))
+    np.testing.assert_allclose(np.asarray(fleet.cost), np.asarray(ref.cost),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(fleet.U), np.asarray(ref.U),
+                               atol=1e-8)
+    forced = make_fleet_solver_al(spec, cons2, 2, 5, 0.25, 1.1,
+                                  early_stop=False, backward="pallas")
+    with pytest.raises(ValueError, match="outside the Pallas sweep"):
+        forced(q0s, U0s, np.zeros(1))
