@@ -1,11 +1,15 @@
-"""Whole-sweep Pallas backward for the 2ND-ORDER LTI kinds.
+"""Whole-sweep Pallas backward for the 2ND-ORDER LTI and TIME-OPTIMAL
+1st-order kinds.
 
 Round-5 extension of ops/pallas_kernels/segment_backward.py to the
 double-integrator dynamics A = I + dt E (E^2 = 0), B = [dt^2/2 I; dt I]
-(PosOrnPlannerSys.cpp:125-130): n = 2*dof states, m = dof controls. Same
-design — (P, p) carry resident in VMEM for the entire sweep, double-
-buffered per-step input DMA, deferred-wait output DMA, dense keypoint
-Hessians DMA'd only at the static keypoint steps.
+(PosOrnPlannerSys.cpp:125-130): n = 2*dof states, m = dof controls; and
+(late round 5) to the sqrt-dt TIME-OPTIMAL first-order dynamics A = I,
+B = [[s^2 I, 2 s dq_cmd], [0, 2 s]] (PosOrnTimePlannerSys.cpp:161-162):
+n = m = dof + 1, B read from the streamed per-step control. Same design —
+(P, p) carry resident in VMEM for the entire sweep, double-buffered
+per-step input DMA, deferred-wait output DMA, dense keypoint Hessians
+DMA'd only at the static keypoint steps.
 
 The per-step math is NOT re-derived: the kernel body calls the fleet
 solver's own trace-level list algebra (`fleet._q_terms` band-structured
@@ -14,7 +18,9 @@ Q assembly + `fleet._gains_value` exact collapsed value recursion) on
 supporting +/-/*, so the XLA path and the kernel run IDENTICAL math by
 construction (parity tests pin it bit-close in f64 interpret mode).
 
-Scope: nb_deriv == 2, not time-optimal, no AL terms, m == dof == n/2.
+Scope: (a) kind='second': nb_deriv == 2, not time-optimal, no AL terms,
+m == dof == n/2; (b) kind='time1': nb_deriv == 1, time-optimal, no AL
+terms, n == m == dof + 1.
 """
 
 import functools
@@ -24,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["segment_backward_pallas_2nd", "pallas2_backward_supported",
-           "PALLAS2_AUTO"]
+           "PALLAS2_AUTO", "segment_backward_pallas_time1",
+           "pallas_time1_backward_supported", "PALLAS_TIME1_AUTO"]
 
 # Auto-enable switch for the production 'auto' backward mode: ON — the
 # same-run hardware A/B (in-jit x10, B=4096, H=400 posorn2nd sweep)
@@ -66,9 +73,31 @@ def pallas2_backward_supported(B, n, m, nb_deriv, time, has_al, dtype,
     return jax.default_backend() in ("tpu", "axon")
 
 
+# Auto-enable switch for the time-optimal 1st-order kernel in the 'auto'
+# backward mode. ON — same-run hardware A/B (in-jit x20, B=2048, H=100
+# timeopt sweep): see docs/round5_notes.md (the time-kind XLA scan body has
+# the dense chain-rule column's extra fusion boundaries, same class of win
+# as the 2nd-order kernel's 2.13x).
+PALLAS_TIME1_AUTO = True
+
+
+def pallas_time1_backward_supported(B, n, m, nb_deriv, time, has_al, dtype,
+                                    interpret=False):
+    """Static gate for the time-optimal 1st-order Pallas sweep."""
+    if nb_deriv != 1 or not time or has_al or n != m:
+        return False
+    if _pick_nt_ls_2nd(B) is None:
+        return False
+    if interpret:
+        return True
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _kernel(params_ref, P0_ref, p0_ref, steps_ref, gxx_ref, kd_ref,
             P_scr, p_scr, inbuf, gxxbuf, outbuf, sem_in, sem_gxx, sem_out,
-            *, H, n, m, NT, dt, Rt, kp_slots):
+            *, H, n, m, NT, dt, Rt, kp_slots, kind):
     """One full backward sweep per grid step (NT lane tiles interleaved).
 
     steps_ref [G, H-1, 2n+m, NT, LS, 128]: rows 0..n-1 limit diag l2,
@@ -85,8 +114,15 @@ def _kernel(params_ref, P0_ref, p0_ref, steps_ref, gxx_ref, kd_ref,
     # trace-time constants (dt/Rt are STATIC here so the fleet algebra's
     # constant folding applies exactly as on the XLA path)
     del params_ref
-    cc = SimpleNamespace(n=n, m=m, dof=m, nb_deriv=2, time=False, dt=dt,
-                         Rt=list(Rt))
+    if kind == "time1":
+        # sqrt-dt time-optimal, first order: n = m = dof + 1; dt comes
+        # from the streamed per-step control (PosOrnTimePlannerSys.cpp:
+        # 154-162), so cc.dt is unused by _q_terms' time branch
+        cc = SimpleNamespace(n=n, m=m, dof=m - 1, nb_deriv=1, time=True,
+                             dt=None, Rt=list(Rt))
+    else:
+        cc = SimpleNamespace(n=n, m=m, dof=m, nb_deriv=2, time=False, dt=dt,
+                             Rt=list(Rt))
 
     def in_copy(t):
         return pltpu.make_async_copy(steps_ref.at[g, t], inbuf.at[t % 2],
@@ -170,7 +206,7 @@ def _kernel(params_ref, P0_ref, p0_ref, steps_ref, gxx_ref, kd_ref,
 
 
 def _run_tile(steps, P0, p0, gxx, kp_slots, H, n, m, NT, LS, dt, Rt,
-              interpret):
+              interpret, kind="second"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -179,7 +215,7 @@ def _run_tile(steps, P0, p0, gxx, kp_slots, H, n, m, NT, LS, dt, Rt,
     tile = lambda x: x.reshape(1, *x.shape[:-1], NT, LS, 128)  # noqa: E731
     kern = functools.partial(_kernel, H=H, n=n, m=m, NT=NT, dt=dt,
                              Rt=tuple(float(v) for v in Rt),
-                             kp_slots=kp_slots)
+                             kp_slots=kp_slots, kind=kind)
     params = jnp.zeros((1,), dtype)  # placeholder (constants are static)
     kd = pl.pallas_call(
         kern,
@@ -224,6 +260,28 @@ def segment_backward_pallas_2nd(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
     folded). L2/lx [H-1, n, B]; U [H-1, m, B]; gxx [n_kp, n, n, B] at the
     static `kp_steps`. n must equal 2*m (double integrator).
     """
+    if P0.shape[0] != 2 * U.shape[1]:
+        raise ValueError(f"2nd-order kernel needs n == 2m, got "
+                         f"n={P0.shape[0]} m={U.shape[1]}")
+    return _segment_backward(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
+                             interpret, "second")
+
+
+def segment_backward_pallas_time1(P0, p0, L2, lx, U, gxx, kp_steps, Rt,
+                                  interpret=False):
+    """Full time-optimal 1st-order backward sweep (same contract as the
+    2nd-order entry). n must equal m (= dof + 1, the sqrt-dt control
+    appended, PosOrnTimePlannerSys.cpp:67-69); the per-step durations
+    dt_k = s_k^2 come from the streamed controls U."""
+    if P0.shape[0] != U.shape[1]:
+        raise ValueError(f"time-optimal kernel needs n == m, got "
+                         f"n={P0.shape[0]} m={U.shape[1]}")
+    return _segment_backward(P0, p0, L2, lx, U, gxx, kp_steps, None, Rt,
+                             interpret, "time1")
+
+
+def _segment_backward(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt, interpret,
+                      kind):
     n, _, B = P0.shape
     Hm1, m = U.shape[0], U.shape[1]
     H = Hm1 + 1
@@ -231,8 +289,6 @@ def segment_backward_pallas_2nd(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
     cfg = _pick_nt_ls_2nd(B)
     if cfg is None:
         raise ValueError(f"B={B} must be a multiple of 128")
-    if n != 2 * m:
-        raise ValueError(f"2nd-order kernel needs n == 2m, got n={n} m={m}")
     NT, LS = cfg
     LB = NT * LS * 128
     G = B // LB
@@ -245,7 +301,7 @@ def segment_backward_pallas_2nd(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
 
     if G == 1:
         return _run_tile(steps, P0, p0, gxx, kp_slots, H, n, m, NT, LS,
-                         dt, Rt, interpret)
+                         dt, Rt, interpret, kind)
 
     def body(g, acc):
         Ks_acc, ds_acc = acc
@@ -253,7 +309,7 @@ def segment_backward_pallas_2nd(P0, p0, L2, lx, U, gxx, kp_steps, dt, Rt,
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, LB,  # noqa: E731
                                                     axis=a.ndim - 1)
         Ks_t, ds_t = _run_tile(sl(steps), sl(P0), sl(p0), sl(gxx), kp_slots,
-                               H, n, m, NT, LS, dt, Rt, interpret)
+                               H, n, m, NT, LS, dt, Rt, interpret, kind)
         Ks_acc = jax.lax.dynamic_update_slice_in_dim(Ks_acc, Ks_t, start,
                                                      axis=3)
         ds_acc = jax.lax.dynamic_update_slice_in_dim(ds_acc, ds_t, start,

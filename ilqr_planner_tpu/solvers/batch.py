@@ -457,6 +457,14 @@ def _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, use_psi):
     Rdiag = jnp.tile(spec.Rt.astype(dtype), H - 1)
     Su_const = None if base.time_optimal else _lti_su_rows(spec, kp_idx, dtype)
     alphas = (2.0 ** -jnp.arange(0, 11)).astype(dtype)
+    # LTI kinds: keypoint-row states are LINEAR in u (closed-form weighted
+    # control sums, _lti_states_partial), so the line-search trials
+    # u + alpha du evaluate on keypoint-row-sized arrays — the batch-solver
+    # analogue of the fleet's affine line search (fleet._run_trials_affine).
+    # Identical accept decisions up to reduction-order rounding. Time-optimal
+    # states are nonlinear in u; those kinds keep the direct evaluation.
+    affine_ls = not base.time_optimal
+    prev_idx = tuple(max(k - 1, 0) for k in kp_idx)
     # Square-root factor of the (constant, PSD) sparse precision block for
     # the stable GN step: Q = Qh^T Qh with eigenvalues clipped at zero.
     wq, Uq = jnp.linalg.eigh(Q)
@@ -471,30 +479,57 @@ def _solve_body_fast(spec, Q, psi, u0, kp_idx, nb_iter, early_stop, use_psi):
         U2 = u.reshape(H - 1, nu)
         Su = (_time_su_rows(spec, kp_idx, U2, dtype)
               if base.time_optimal else Su_const)
-        e, ql, Lblk, Js, _ = _kp_terms(spec, U2, kp_idx)
+        if affine_ls:
+            # base states at the keypoint (and lagged-limit) rows; identical
+            # to what _kp_terms computes internally, kept for trial reuse
+            Xk_u = _lti_states_at(spec, U2, kp_idx)
+            Xp_u = _lti_states_at(spec, U2, prev_idx)
+            e, ql, Lblk, Js, _ = _kp_terms_from_states(spec, Xk_u, Xp_u,
+                                                       kp_idx)
+        else:
+            e, ql, Lblk, Js, _ = _kp_terms(spec, U2, kp_idx)
         Jblk = _block_diag(Js)
         rhs = Su.T @ (Jblk.T @ (Q @ e) + Lblk * ql) - Rdiag * u
         if use_psi:
             M = Jblk.T @ Q @ Jblk + jnp.diag(Lblk)
-            lhs = psi.T @ (Su.T @ (M @ (Su @ psi))) \
-                + psi.T @ (Rdiag[:, None] * psi)
+            # (Su psi) first: the [rows, K nu] product is constant for LTI
+            # (hoisted) and keeps the per-scenario intermediates at
+            # [rows, K nu] instead of materializing [(H-1) nu, K nu]
+            G = Su @ psi
+            lhs = G.T @ (M @ G) + psi.T @ (Rdiag[:, None] * psi)
             du = psi @ jnp.linalg.solve(lhs, psi.T @ rhs)
         else:
             du = _stable_gn_du(Su, Qh, Jblk, Lblk, Rdiag, rhs)
         cost0 = e @ (Q @ e) + jnp.sum(Rdiag * u * u) + jnp.sum(ql * Lblk * ql)
 
-        def trial(tc, a):
-            accepted, best_u, best_a = tc
-            utmp = u + a * du
-            cost = eval_cost(utmp)
-            ok = (cost < cost0) | (a < 1e-3)
-            take = ~accepted & ok
-            best_u = jnp.where(take, utmp, best_u)
-            best_a = jnp.where(take, a, best_a)
-            return (accepted | ok, best_u, best_a), None
+        if affine_ls:
+            dU2 = du.reshape(H - 1, nu)
+            Xk_d = _lti_states_partial(spec, dU2, kp_idx)
+            Xp_d = _lti_states_partial(spec, dU2, prev_idx)
+            ra = jnp.sum(Rdiag * u * u)
+            rb = jnp.sum(Rdiag * u * du)
+            rc = jnp.sum(Rdiag * du * du)
 
-        (_, u_new, alpha), _ = jax.lax.scan(
-            trial, (jnp.asarray(False), u, jnp.asarray(1.0, dtype)), alphas)
+            def eval_trial(a):
+                e2, ql2, L2, _, _ = _kp_terms_from_states(
+                    spec, Xk_u + a * Xk_d, Xp_u + a * Xp_d, kp_idx)
+                return (e2 @ (Q @ e2) + (ra + 2.0 * a * rb + (a * a) * rc)
+                        + jnp.sum(ql2 * L2 * ql2))
+        else:
+            eval_trial = lambda a: eval_cost(u + a * du)  # noqa: E731
+
+        # All 11 trial costs at once (vmap over the alpha grid — the trials
+        # have no cross-dependence; a sequential scan would pay the FK
+        # graph's op-issue latency 11 times). First passing alpha wins and
+        # the floor trial (alpha < 1e-3) accepts unconditionally — the
+        # decisions of the reference's sequential backtracking
+        # (BatchILQR.cpp:137-157), evaluated in parallel.
+        costs = jax.vmap(eval_trial)(alphas)
+        ok = (costs < cost0) | (alphas < 1e-3)
+        any_ok = jnp.any(ok)
+        alpha = jnp.where(any_ok, alphas[jnp.argmax(ok)],
+                          jnp.asarray(1.0, dtype))
+        u_new = jnp.where(any_ok, u + alpha * du, u)
 
         new_done = done | (early_stop
                            & (alpha * jnp.sqrt(jnp.sum(du * du)) < 1e-3))

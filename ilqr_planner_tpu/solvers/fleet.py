@@ -1255,17 +1255,19 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
     pallas_scope = al is None and cc.nb_deriv == 1 and not cc.time and m == n
     pallas2_scope = (al is None and cc.nb_deriv == 2 and not cc.time
                      and n == 2 * m)
-    if mode in ("pallas", "pallas_interpret") and not (pallas_scope
-                                                       or pallas2_scope):
+    pallas_t1_scope = (al is None and cc.nb_deriv == 1 and cc.time
+                       and m == n)
+    if mode in ("pallas", "pallas_interpret") and not (
+            pallas_scope or pallas2_scope or pallas_t1_scope):
         # Loud failure, matching segment_backward_pallas's behavior on an
         # untileable B: silently running the XLA scan here would let bench
         # configs report XLA numbers as Pallas.
         raise ValueError(
             f"backward={mode!r} requested but the workload is outside the "
-            f"Pallas sweeps' scope (needs LTI — first-order m == n or "
-            f"2nd-order n == 2m — and no AL terms; got "
-            f"nb_deriv={cc.nb_deriv}, time={cc.time}, m={m}, n={n}, "
-            f"al={'set' if al is not None else 'None'})")
+            f"Pallas sweeps' scope (needs first-order m == n, 2nd-order "
+            f"n == 2m, or time-optimal first-order m == n — and no AL "
+            f"terms; got nb_deriv={cc.nb_deriv}, time={cc.time}, m={m}, "
+            f"n={n}, al={'set' if al is not None else 'None'})")
 
     def pallas_prep():
         """(P_arr, p_arr, lx_arr, gxx_arr, inner_kps) shared by both
@@ -1315,6 +1317,19 @@ def _backward(cc: "_Consts", X, U, ov=None, al=None):
             return segment_backward_2nd.segment_backward_pallas_2nd(
                 P_arr, p_arr, L2[:H - 1], lx_arr, U, gxx_arr,
                 inner_kps, cc.dt, cc.Rt, interpret=interp)
+
+    if mode != "xla" and pallas_t1_scope:
+        from ilqr_planner_tpu.ops.pallas_kernels import segment_backward_2nd
+
+        interp = (mode == "pallas_interpret")
+        if (mode in ("pallas", "pallas_interpret")
+                or (segment_backward_2nd.PALLAS_TIME1_AUTO
+                    and segment_backward_2nd.pallas_time1_backward_supported(
+                        B, n, m, 1, True, False, dtype))):
+            P_arr, p_arr, lx_arr, gxx_arr, inner_kps = pallas_prep()
+            return segment_backward_2nd.segment_backward_pallas_time1(
+                P_arr, p_arr, L2[:H - 1], lx_arr, U, gxx_arr,
+                inner_kps, cc.Rt, interpret=interp)
 
     # the time-optimal 2nd-order B needs the state velocity lanes at each
     # step (PosOrnTimePlannerSys.cpp:165-176)

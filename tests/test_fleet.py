@@ -631,18 +631,21 @@ def test_fleet_sequential_overrides_exact_in_f64(panda_robot_f64):
 
 def test_fleet_backward_pallas_forced_out_of_scope_raises(panda_robot):
     """Forcing backward='pallas' on a workload outside the Pallas sweeps'
-    scope (here: sqrt-dt time-optimal — control-dependent B) must fail
+    scope (here: sqrt-dt time-optimal with ACCELERATION control — the
+    time-optimal kernels cover only the first-order kind) must fail
     loudly instead of silently running the XLA scan (advisor round-4
     finding: bench configs could report XLA numbers as Pallas)."""
     from ilqr_planner_tpu.systems.keypoints import SpacetimeKeypoint
 
     kps = [SpacetimeKeypoint(T1_POS, T1_ORN,
-                             np.diag([1, 1, 1, .1, .1, .1, 0]), 9, 1.0)]
+                             np.diag([1, 1, 1, .1, .1, .1] * 2 + [0]), 9, 1.0,
+                             dposition=[0, 0, 0],
+                             dorientation=[0, 0, 0, 0])]
     spec2 = make_spec("posorn_time", panda_robot, kps, np.ones(8) * 1e-5,
-                      10, 1, dt=None, q0=Q0, dtype=np.float32)
+                      10, 2, dt=None, q0=Q0, dtype=np.float32)
     solver = make_fleet_solver(spec2, 2, backward="pallas", ls="scan")
     x0s = np.concatenate([np.tile(Q0[None], (2, 1)),
-                          np.zeros((2, 1))], axis=-1).astype(np.float32)
+                          np.zeros((2, 8))], axis=-1).astype(np.float32)
     U0 = np.tile(np.array([0.0] * 7 + [0.1], np.float32), (9, 1))
     U0s = np.tile(U0[None], (2, 1, 1))
     with pytest.raises(ValueError, match="outside the Pallas sweep"):

@@ -250,3 +250,47 @@ def test_pallas_backward_2nd_order_interpret_exact(panda64):
     assert K2.shape == (Hs - 1, 7, n, Bt)
     assert float(jnp.abs(K1 - K2).max()) < 1e-10
     assert float(jnp.abs(d1 - d2).max()) < 1e-10
+
+
+def test_pallas_backward_time1_interpret_exact(panda64):
+    """The time-optimal 1st-order whole-sweep kernel (round-5 extension of
+    the 2nd-order kernel: kind='time1') also reuses the fleet's own
+    _q_terms/_gains_value algebra in the kernel body — interpret-mode f64
+    parity on a short sqrt-dt sweep with an inner Spacetime keypoint."""
+    import jax.numpy as jnp
+
+    from ilqr_planner_tpu.solvers import fleet
+    from ilqr_planner_tpu.systems.keypoints import SpacetimeKeypoint
+    from ilqr_planner_tpu.systems.spec import make_spec
+
+    Hs = 12
+    kps = [SpacetimeKeypoint(*T1, np.diag([1, 1, 1, .1, .1, .1, 0]),
+                             Hs // 2, 2.0),
+           SpacetimeKeypoint(*T2, np.diag([1, 1, 1, .1, .1, .1, 0.1]),
+                             Hs - 1, 5.0)]
+    qmax = Q0 + 0.4  # tight enough that limit penalties go live
+    spec = make_spec("posorn_time", panda64, kps, np.ones(8) * 1e-5, Hs, 1,
+                     dt=None, q0=Q0, q_max=qmax, q_min=Q0 - 0.4,
+                     dtype=np.float64)
+    Bt = 128
+    cc = fleet._Consts(spec)
+    n = cc.n
+    assert n == cc.m == 8
+    rng = np.random.default_rng(7)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(Bt, 7))
+    x0 = np.concatenate([q0s, np.zeros((Bt, 1))], axis=-1)
+    steps = np.concatenate([x0[None],
+                            0.02 * rng.normal(size=(Hs - 1, Bt, n))])
+    X = jnp.asarray(np.cumsum(steps, axis=0).transpose(0, 2, 1))
+    # controls [dq_cmd, s]: keep s away from zero so the chain-rule column
+    # (PosOrnTimePlannerSys.cpp:161-162) is well exercised
+    U_np = 0.05 * rng.normal(size=(Hs - 1, 8, Bt))
+    U_np[:, -1] = 0.1 + 0.05 * np.abs(U_np[:, -1])
+    U = jnp.asarray(U_np)
+    cc.backward_impl = "xla"
+    K1, d1 = fleet._backward(cc, X, U)
+    cc.backward_impl = "pallas_interpret"
+    K2, d2 = fleet._backward(cc, X, U)
+    assert K2.shape == (Hs - 1, 8, n, Bt)
+    assert float(jnp.abs(K1 - K2).max()) < 1e-10
+    assert float(jnp.abs(d1 - d2).max()) < 1e-10
