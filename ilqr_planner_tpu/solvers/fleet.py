@@ -901,10 +901,18 @@ def _rollout(cc: "_Consts", alpha, Ks, ds, Xref, Uref, x0, ov=None):
     )
     cost = cost + _limit_cost_arr(cc, xH)
     X = jnp.concatenate([x0[None], Xs], axis=0)  # [H, n, B]
-    # control penalty enters the cost value only at each sub's keypoint
-    # steps with that SUB's Rt (System.cpp:217-221, summed across subs
-    # SequentialSystem.cpp:119-127); keypoint residual costs at the static
-    # steps.
+    cost = _static_step_costs(cc, X, U, ov, cost)
+    return X, U, cost, du_acc
+
+
+def _static_step_costs(cc: "_Consts", X, U, ov, cost):
+    """Accumulate the keypoint-residual + control-penalty cost at the
+    static keypoint steps onto `cost` ([H, n, B]/[H-1, m, B] -> [B], same
+    accumulation order as before the factoring). The control penalty
+    enters the cost value only at each sub's keypoint steps with that
+    SUB's Rt (System.cpp:217-221, summed across subs
+    SequentialSystem.cpp:119-127)."""
+    m = cc.m
     for k in cc.kp_steps:
         if k < cc.H - 1:
             uk = U[k]
@@ -913,7 +921,7 @@ def _rollout(cc: "_Consts", alpha, Ks, ds, Xref, Uref, x0, ov=None):
                 cost = cost + sum(sc.Rt[i] * uk[i] * uk[i] for i in range(m))
         kc, _, _ = _kp_terms_at(cc, k, _rows(X[k]), False, ov)
         cost = cost + kc
-    return X, U, cost, du_acc
+    return cost
 
 
 # ---------------------------------------------------------------------------
@@ -1500,6 +1508,34 @@ def _run_trials(cc: "_Consts", a_sched, X, U, cost0, Ks, ds, x0, ovb,
     n_alpha = a_sched.shape[0]
     dummy = (X, U, cost0, jnp.zeros((B,), dtype), jnp.ones((B,), dtype))
 
+    # Pallas whole-trajectory rollout for the time-optimal 1st-order kind
+    # (ops/pallas_kernels/rollout_time1.py): VMEM-resident state carry,
+    # streamed (K, d, xo, uo); limit/keypoint costs assembled over the
+    # returned trajectory — identical trial decisions up to reduction-
+    # order rounding (the affine line search's contract).
+    roll = None
+    rmode = getattr(cc, "rollout_impl", "auto")
+    if (rmode != "xla" and cc.time and cc.nb_deriv == 1
+            and cc.m == cc.n):
+        from ilqr_planner_tpu.ops.pallas_kernels import rollout_time1 as _rt1
+
+        interp = rmode == "pallas_interpret"
+        if (rmode in ("pallas", "pallas_interpret")
+                or (_rt1.ROLLOUT_T1_AUTO
+                    and _rt1.rollout_time1_supported(B, cc.n, cc.m, 1, True,
+                                                     dtype))):
+            steps = _rt1.build_steps(Ks, ds, X, U)
+
+            def roll(a):
+                Xt, Ut, du2 = _rt1.rollout_from_steps(
+                    a, steps, x0, cc.H, cc.n, cc.m, interp)
+                ct = _static_step_costs(cc, Xt, Ut, ovb,
+                                        _limit_cost_full(cc, Xt))
+                dut = jnp.sum(jnp.sqrt(du2), axis=0)
+                return Xt, Ut, ct, dut
+    if roll is None:
+        roll = lambda a: _rollout(cc, a, Ks, ds, X, U, x0, ovb)  # noqa: E731
+
     def cond(st):
         i, accepted, _ = st
         return (i < n_alpha) & ~jnp.all(accepted)
@@ -1507,7 +1543,7 @@ def _run_trials(cc: "_Consts", a_sched, X, U, cost0, Ks, ds, x0, ovb,
     def body(st):
         i, accepted, best = st
         a = a_sched[i]
-        Xt, Ut, ct, dut = _rollout(cc, a, Ks, ds, X, U, x0, ovb)
+        Xt, Ut, ct, dut = roll(a)
         ok = (ct < cost0) & ~jnp.isnan(ct)
         take = ~accepted  # first passing alpha wins; floor-out sticks
         sel = lambda b, o: jnp.where(take, o, b)
@@ -1672,7 +1708,7 @@ def _pick_ls_mode(cc: "_Consts", ls: str) -> bool:
 def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
                       early_stop: bool = True, overrides=(), unroll: int = 1,
                       backward: str = "auto", ls: str = "auto",
-                      record: bool = False):
+                      record: bool = False, rollout: str = "auto"):
     """Build a jitted lane-major fleet solve: (x0s [B,n], U0s [B,H-1,nu]
     [, ov]) -> ILQRResult with a leading scenario axis. The spec must be
     concrete (not traced); its arrays fold into the program as constants.
@@ -1694,13 +1730,29 @@ def make_fleet_solver(spec: Spec, nb_iter: int, line_search: bool = True,
     record: return per-lane per-iteration {"cost": [B, nb_iter], "alpha":
     [B, nb_iter]} buffers in result.progress (NaN beyond each lane's
     executed iterations) — tunnel-safe progress without host callbacks.
+
+    rollout: trial-rollout implementation for the scan line search —
+    'auto' (the Pallas whole-trajectory kernel on the time-optimal
+    1st-order kind when supported, else the lax.scan rollout), 'xla',
+    'pallas', 'pallas_interpret' (force). Irrelevant when the affine line
+    search applies (LTI kinds evaluate trials scan-free).
     """
     if backward not in ("auto", "xla", "pallas", "pallas_interpret"):
         raise ValueError(f"backward must be auto/xla/pallas/pallas_interpret,"
                          f" got {backward!r}")
+    if rollout not in ("auto", "xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"rollout must be auto/xla/pallas/pallas_interpret,"
+                         f" got {rollout!r}")
     cc = _Consts(spec, overrides)
     cc.unroll = int(unroll)
     cc.backward_impl = backward
+    cc.rollout_impl = rollout
+    if rollout in ("pallas", "pallas_interpret") and not (
+            cc.time and cc.nb_deriv == 1 and cc.m == cc.n):
+        raise ValueError(
+            f"rollout={rollout!r} requested but the workload is outside the "
+            f"rollout kernel's scope (time-optimal first-order, m == n; got "
+            f"nb_deriv={cc.nb_deriv}, time={cc.time}, m={cc.m}, n={cc.n})")
     use_affine = _pick_ls_mode(cc, ls)
     n, m, H = cc.n, cc.m, cc.H
     a_sched = _alpha_schedule(cc, line_search)

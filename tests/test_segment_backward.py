@@ -294,3 +294,84 @@ def test_pallas_backward_time1_interpret_exact(panda64):
     assert K2.shape == (Hs - 1, 8, n, Bt)
     assert float(jnp.abs(K1 - K2).max()) < 1e-10
     assert float(jnp.abs(d1 - d2).max()) < 1e-10
+
+
+def test_rollout_time1_kernel_interpret_exact(panda64):
+    """The time-optimal rollout kernel must reproduce fleet._rollout's
+    X/U/per-step ||du||^2 bit-close (identical per-step FLOP sequence) in
+    f64 interpret mode, and the full fleet solve with rollout=
+    'pallas_interpret' must match the default scan line search to
+    reduction-order rounding (the limit/keypoint cost reductions move
+    outside the scan — the affine-LS contract)."""
+    import jax.numpy as jnp
+
+    from ilqr_planner_tpu.ops.pallas_kernels import rollout_time1 as rt1
+    from ilqr_planner_tpu.solvers import fleet
+    from ilqr_planner_tpu.systems.keypoints import SpacetimeKeypoint
+    from ilqr_planner_tpu.systems.spec import make_spec
+
+    Hs = 12
+    kps = [SpacetimeKeypoint(*T1, np.diag([1, 1, 1, .1, .1, .1, 0]),
+                             Hs // 2, 2.0),
+           SpacetimeKeypoint(*T2, np.diag([1, 1, 1, .1, .1, .1, 0.1]),
+                             Hs - 1, 5.0)]
+    qmax = Q0 + 0.4
+    spec = make_spec("posorn_time", panda64, kps, np.ones(8) * 1e-5, Hs, 1,
+                     dt=None, q0=Q0, q_max=qmax, q_min=Q0 - 0.4,
+                     dtype=np.float64)
+    Bt = 128
+    cc = fleet._Consts(spec)
+    cc.unroll = 1
+    n = cc.n
+    rng = np.random.default_rng(9)
+    q0s = Q0[None] + 0.05 * rng.normal(size=(Bt, 7))
+    x0 = jnp.asarray(np.concatenate([q0s, np.zeros((Bt, 1))],
+                                    axis=-1).T)                  # [n, B]
+    steps = np.concatenate([np.asarray(x0.T)[None],
+                            0.02 * rng.normal(size=(Hs - 1, Bt, n))])
+    Xref = jnp.asarray(np.cumsum(steps, axis=0).transpose(0, 2, 1))
+    U_np = 0.05 * rng.normal(size=(Hs - 1, 8, Bt))
+    U_np[:, -1] = 0.1 + 0.05 * np.abs(U_np[:, -1])
+    Uref = jnp.asarray(U_np)
+    Ks = jnp.asarray(0.1 * rng.normal(size=(Hs - 1, 8, n, Bt)))
+    ds = jnp.asarray(0.05 * rng.normal(size=(Hs - 1, 8, Bt)))
+
+    # (a) raw kernel vs the scan rollout: X/U bit-close, du consistent
+    Xs, Us, cs, dus = fleet._rollout(cc, 0.5, Ks, ds, Xref, Uref, x0)
+    Xk, Uk, du2 = rt1.rollout_time1_pallas(jnp.float64(0.5), Ks, ds, Xref,
+                                           Uref, x0, interpret=True)
+    assert float(jnp.abs(Xk - Xs).max()) < 1e-12
+    assert float(jnp.abs(Uk - Us).max()) < 1e-12
+    duk = jnp.sum(jnp.sqrt(du2), axis=0)
+    np.testing.assert_allclose(np.asarray(duk), np.asarray(dus), rtol=1e-12)
+    # cost recomposed outside the kernel: reduction order differs from the
+    # scan's sequential accumulation, values agree to rounding
+    ck = fleet._static_step_costs(cc, Xk, Uk, None,
+                                  fleet._limit_cost_full(cc, Xk))
+    np.testing.assert_allclose(np.asarray(ck), np.asarray(cs), rtol=1e-12)
+
+    # (b) full solve equivalence: forced kernel rollout vs default scan
+    q0b = (Q0[None] + 0.05 * rng.normal(size=(Bt, 7)))
+    x0s = np.concatenate([q0b, np.zeros((Bt, 1))], axis=-1)
+    U0 = np.tile(np.array([0.0] * 7 + [0.01]), (Hs - 1, 1))
+    U0s = np.tile(U0[None], (Bt, 1, 1))
+    ref = fleet.make_fleet_solver(spec, 6)(x0s, U0s)
+    got = fleet.make_fleet_solver(spec, 6,
+                                  rollout="pallas_interpret")(x0s, U0s)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U),
+                               atol=1e-9)
+    assert np.array_equal(np.asarray(got.iterations),
+                          np.asarray(ref.iterations))
+
+
+def test_rollout_kernel_forced_out_of_scope_raises(panda64):
+    """rollout='pallas' on a non-time-optimal kind fails loudly (matching
+    the backward knob's behavior)."""
+    kps = [PosOrnKeypoint(*T1, np.diag([1, 1, 1, .1, .1, .1]), H - 1)]
+    spec = make_spec("posorn", panda64, kps, np.ones(7) * 1e-5, H, 1,
+                     dt=0.1, q0=Q0, dtype=np.float64)
+    with pytest.raises(ValueError, match="rollout kernel's scope"):
+        from ilqr_planner_tpu.solvers.fleet import make_fleet_solver as mk
+        mk(spec, 2, rollout="pallas")
